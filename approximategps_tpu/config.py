@@ -1,0 +1,63 @@
+"""Global configuration for approximategps_tpu.
+
+The reference has no config system (SURVEY.md §5) — everything is keyword
+arguments.  We keep that spirit: this module only holds *numerics policy*
+switches that must be consistent across a whole computation (gram-matrix
+implementation, Pallas kernel usage, solve strategy), not model options.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import os
+from typing import Iterator
+
+
+@dataclasses.dataclass
+class _Config:
+    # Pairwise-distance implementation for Gram matrices:
+    #   "broadcast": exact (x - z)**2 broadcasting — best accuracy, O(N*M*D) mem
+    #   "mxu":       |x|^2 + |z|^2 - 2 x z^T via matmul — MXU-friendly, fastest
+    #   "pallas":    fused Pallas tile kernel (TPU only; falls back to mxu
+    #                semantics in interpret mode on CPU)
+    #   "auto":      broadcast for small problems, mxu/pallas for large
+    gram_mode: str = os.environ.get("AGP_GRAM_MODE", "auto")
+    # Problem-size threshold (N*M*D elements) above which "auto" switches from
+    # broadcast to the MXU path.
+    gram_auto_threshold: int = 1 << 22
+    # Whether Pallas kernels may be used at all (auto-disabled off-TPU unless
+    # interpret mode is forced).
+    use_pallas: bool = os.environ.get("AGP_USE_PALLAS", "1") == "1"
+    # Force Pallas interpret mode (useful on CPU for tests).
+    pallas_interpret: bool = os.environ.get("AGP_PALLAS_INTERPRET", "0") == "1"
+    # Triangular-solve strategy for the SVGP projection A = L^{-1} Kuf:
+    #   "triangular": lax triangular solve (exact, used for parity tests)
+    #   "inv_matmul": precompute L^{-1} once (O(M^3)), then a pure matmul —
+    #                 rides the MXU for the O(M^2 N) application.
+    solve_mode: str = os.environ.get("AGP_SOLVE_MODE", "triangular")
+    # Matmul precision for the big Gram/projection matmuls ("default",
+    # "float32", "bfloat16_3x", "highest").
+    matmul_precision: str = os.environ.get("AGP_MATMUL_PRECISION", "highest")
+    # Default jitter added to Kuu/Kff diagonals when the user passes none.
+    default_jitter: float = 1e-8
+
+
+config = _Config()
+
+
+def set_config(**kwargs) -> None:
+    for k, v in kwargs.items():
+        if not hasattr(config, k):
+            raise AttributeError(f"unknown config key: {k}")
+        setattr(config, k, v)
+
+
+@contextlib.contextmanager
+def config_context(**kwargs) -> Iterator[None]:
+    old = {k: getattr(config, k) for k in kwargs}
+    set_config(**kwargs)
+    try:
+        yield
+    finally:
+        set_config(**old)

@@ -1,0 +1,372 @@
+"""Kernel library + Gram construction (L1 of SURVEY.md §1).
+
+The reference imports this layer wholesale from KernelFunctions.jl
+(``kernelmatrix``, ``with_lengthscale``, ``ScaleTransform``, SE/Matérn
+kernels — see usage at ``src/NearestNeighborsModule.jl:28,56`` and
+``src/TestUtils.jl:35``).  Built from scratch here, TPU-first:
+
+- kernels are pytree dataclasses; their hyperparameters (variance,
+  lengthscale, ...) are differentiable leaves,
+- Gram matrices are built from pairwise squared distances computed either by
+  exact broadcasting (accuracy / f64 oracle mode) or by the MXU-friendly
+  ``|x|² + |z|² − 2·x zᵀ`` matmul form, or by a fused Pallas tile kernel
+  (distance + elementwise kernel map in one VMEM pass),
+- inputs are arrays of shape (N,) or (N, D) — the JAX analogue of
+  KernelFunctions' vectors-of-points / ``ColVecs``.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from .pytrees import pytree_dataclass, static_field
+
+__all__ = [
+    "Kernel",
+    "StationaryKernel",
+    "SqExponentialKernel",
+    "SEKernel",
+    "RBFKernel",
+    "Matern12Kernel",
+    "ExponentialKernel",
+    "Matern32Kernel",
+    "Matern52Kernel",
+    "RationalQuadraticKernel",
+    "PeriodicKernel",
+    "WhiteKernel",
+    "ConstantKernel",
+    "LinearKernel",
+    "PolynomialKernel",
+    "ScaledKernel",
+    "InputScaledKernel",
+    "SumKernel",
+    "ProductKernel",
+    "with_lengthscale",
+    "ScaleTransform",
+    "pairwise_sq_dist",
+    "as_points",
+]
+
+
+def as_points(X: jax.Array) -> jax.Array:
+    """Canonicalize inputs to shape (N, D)."""
+    X = jnp.asarray(X)
+    if X.ndim == 0:
+        return X.reshape(1, 1)
+    if X.ndim == 1:
+        return X[:, None]
+    if X.ndim == 2:
+        return X
+    raise ValueError(f"kernel inputs must be (N,) or (N, D); got shape {X.shape}")
+
+
+def _resolve_gram_mode(n: int, m: int, d: int) -> str:
+    mode = config.gram_mode
+    if mode == "auto":
+        if n * m * d >= config.gram_auto_threshold:
+            return "mxu"
+        return "broadcast"
+    return mode
+
+
+def pairwise_sq_dist(X: jax.Array, Z: jax.Array, mode: str | None = None) -> jax.Array:
+    """Pairwise squared Euclidean distances, shape (N, M).
+
+    ``broadcast`` is numerically exact (differences squared); ``mxu`` uses the
+    matmul identity so the O(N·M·D) work lands on the systolic array.
+    """
+    X = as_points(X)
+    Z = as_points(Z)
+    if mode is None:
+        mode = _resolve_gram_mode(X.shape[0], Z.shape[0], X.shape[1])
+    if mode == "broadcast":
+        diff = X[:, None, :] - Z[None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+    # MXU path: |x|^2 + |z|^2 - 2 x.z
+    prec = config.matmul_precision
+    xz = jnp.matmul(X, Z.T, precision=prec)
+    x2 = jnp.sum(X * X, axis=-1)
+    z2 = jnp.sum(Z * Z, axis=-1)
+    r2 = x2[:, None] + z2[None, :] - 2.0 * xz
+    return jnp.maximum(r2, 0.0)
+
+
+class Kernel:
+    """Base class for covariance kernels.
+
+    Subclasses implement ``gram(X, Z)`` (full cross-covariance matrix) and
+    ``diag(X)``; ``__call__(x, z)`` evaluates the kernel on two single points.
+    """
+
+    def gram(self, X: jax.Array, Z: jax.Array | None = None) -> jax.Array:
+        raise NotImplementedError
+
+    def diag(self, X: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def __call__(self, x: jax.Array, z: jax.Array) -> jax.Array:
+        x = jnp.asarray(x)
+        z = jnp.asarray(z)
+        K = self.gram(jnp.atleast_1d(x).reshape(1, -1), jnp.atleast_1d(z).reshape(1, -1))
+        return K[0, 0]
+
+    # -- combinators ------------------------------------------------------
+    def __add__(self, other):
+        if isinstance(other, Kernel):
+            return SumKernel(self, other)
+        return SumKernel(self, ConstantKernel(jnp.asarray(other)))
+
+    __radd__ = __add__
+
+    def __mul__(self, other):
+        if isinstance(other, Kernel):
+            return ProductKernel(self, other)
+        return ScaledKernel(self, jnp.asarray(other))
+
+    __rmul__ = __mul__
+
+
+class StationaryKernel(Kernel):
+    """Kernels of the form k(x, z) = g(||x - z||^2)."""
+
+    @abc.abstractmethod
+    def k_of_r2(self, r2: jax.Array) -> jax.Array:
+        """Elementwise kernel map on squared distances."""
+
+    def gram(self, X: jax.Array, Z: jax.Array | None = None) -> jax.Array:
+        X = as_points(X)
+        Z = X if Z is None else as_points(Z)
+        mode = _resolve_gram_mode(X.shape[0], Z.shape[0], X.shape[1])
+        if mode == "pallas":
+            from ..ops.gram import pallas_stationary_gram
+
+            return pallas_stationary_gram(X, Z, self.k_of_r2)
+        r2 = pairwise_sq_dist(X, Z, mode)
+        return self.k_of_r2(r2)
+
+    def diag(self, X: jax.Array) -> jax.Array:
+        X = as_points(X)
+        z = jnp.zeros((), dtype=X.dtype)
+        return jnp.full((X.shape[0],), self.k_of_r2(z), dtype=X.dtype)
+
+
+def _safe_r(r2: jax.Array) -> jax.Array:
+    """sqrt(r2) with a zero-safe gradient (standard double-where trick)."""
+    safe = jnp.where(r2 > 0, r2, jnp.ones_like(r2))
+    return jnp.where(r2 > 0, jnp.sqrt(safe), jnp.zeros_like(r2))
+
+
+@pytree_dataclass
+class SqExponentialKernel(StationaryKernel):
+    """k(x,z) = exp(-||x-z||^2 / 2) — KernelFunctions.SqExponentialKernel."""
+
+    def k_of_r2(self, r2):
+        return jnp.exp(-0.5 * r2)
+
+
+SEKernel = SqExponentialKernel
+RBFKernel = SqExponentialKernel
+
+
+@pytree_dataclass
+class Matern12Kernel(StationaryKernel):
+    """k(x,z) = exp(-||x-z||) (exponential / Ornstein-Uhlenbeck)."""
+
+    def k_of_r2(self, r2):
+        return jnp.exp(-_safe_r(r2))
+
+
+ExponentialKernel = Matern12Kernel
+
+
+@pytree_dataclass
+class Matern32Kernel(StationaryKernel):
+    """k(x,z) = (1 + √3 r) exp(-√3 r) — KernelFunctions.Matern32Kernel."""
+
+    def k_of_r2(self, r2):
+        sqrt3 = jnp.asarray(3.0, dtype=r2.dtype) ** 0.5
+        t = sqrt3 * _safe_r(r2)
+        return (1.0 + t) * jnp.exp(-t)
+
+
+@pytree_dataclass
+class Matern52Kernel(StationaryKernel):
+    """k(x,z) = (1 + √5 r + 5r²/3) exp(-√5 r) — KernelFunctions.Matern52Kernel."""
+
+    def k_of_r2(self, r2):
+        sqrt5 = jnp.asarray(5.0, dtype=r2.dtype) ** 0.5
+        t = sqrt5 * _safe_r(r2)
+        return (1.0 + t + (5.0 / 3.0) * r2) * jnp.exp(-t)
+
+
+@pytree_dataclass
+class RationalQuadraticKernel(StationaryKernel):
+    """k(x,z) = (1 + r²/(2α))^{-α}."""
+
+    alpha: jax.Array = 2.0
+
+    def k_of_r2(self, r2):
+        a = jnp.asarray(self.alpha, dtype=r2.dtype)
+        return (1.0 + r2 / (2.0 * a)) ** (-a)
+
+
+@pytree_dataclass
+class PeriodicKernel(StationaryKernel):
+    """1-D periodic (MacKay) kernel: exp(-2 sin²(π r / p))."""
+
+    period: jax.Array = 1.0
+
+    def k_of_r2(self, r2):
+        r = _safe_r(r2)
+        p = jnp.asarray(self.period, dtype=r2.dtype)
+        s = jnp.sin(jnp.pi * r / p)
+        return jnp.exp(-2.0 * s * s)
+
+
+@pytree_dataclass
+class WhiteKernel(Kernel):
+    """k(x,z) = δ(x == z) (by index on gram of a single input set)."""
+
+    def gram(self, X, Z=None):
+        X = as_points(X)
+        if Z is None:
+            return jnp.eye(X.shape[0], dtype=X.dtype)
+        Z = as_points(Z)
+        return jnp.zeros((X.shape[0], Z.shape[0]), dtype=X.dtype)
+
+    def diag(self, X):
+        X = as_points(X)
+        return jnp.ones((X.shape[0],), dtype=X.dtype)
+
+
+@pytree_dataclass
+class ConstantKernel(Kernel):
+    value: jax.Array = 1.0
+
+    def gram(self, X, Z=None):
+        X = as_points(X)
+        Z = X if Z is None else as_points(Z)
+        v = jnp.asarray(self.value, dtype=X.dtype)
+        return jnp.full((X.shape[0], Z.shape[0]), v, dtype=X.dtype)
+
+    def diag(self, X):
+        X = as_points(X)
+        return jnp.full((X.shape[0],), jnp.asarray(self.value, X.dtype), dtype=X.dtype)
+
+
+@pytree_dataclass
+class LinearKernel(Kernel):
+    """k(x,z) = x·z."""
+
+    def gram(self, X, Z=None):
+        X = as_points(X)
+        Z = X if Z is None else as_points(Z)
+        return jnp.matmul(X, Z.T, precision=config.matmul_precision)
+
+    def diag(self, X):
+        X = as_points(X)
+        return jnp.sum(X * X, axis=-1)
+
+
+@pytree_dataclass
+class PolynomialKernel(Kernel):
+    """k(x,z) = (x·z + c)^degree."""
+
+    degree: int = static_field(default=2)
+    c: jax.Array = 0.0
+
+    def gram(self, X, Z=None):
+        X = as_points(X)
+        Z = X if Z is None else as_points(Z)
+        base = jnp.matmul(X, Z.T, precision=config.matmul_precision)
+        return (base + jnp.asarray(self.c, X.dtype)) ** self.degree
+
+    def diag(self, X):
+        X = as_points(X)
+        return (jnp.sum(X * X, axis=-1) + jnp.asarray(self.c, X.dtype)) ** self.degree
+
+
+@pytree_dataclass
+class ScaledKernel(Kernel):
+    """variance * inner — KernelFunctions' `σ² * kernel`."""
+
+    inner: Kernel
+    variance: jax.Array = 1.0
+
+    def gram(self, X, Z=None):
+        v = jnp.asarray(self.variance)
+        return v * self.inner.gram(X, Z)
+
+    def diag(self, X):
+        v = jnp.asarray(self.variance)
+        return v * self.inner.diag(X)
+
+
+@pytree_dataclass
+class InputScaledKernel(Kernel):
+    """inner(s*x, s*z) — KernelFunctions' `kernel ∘ ScaleTransform(s)`.
+
+    ``scale`` may be scalar or (D,) for ARD.  ``with_lengthscale(k, l)`` is
+    ``InputScaledKernel(k, 1/l)``.
+    """
+
+    inner: Kernel
+    scale: jax.Array = 1.0
+
+    def _tx(self, X):
+        X = as_points(X)
+        return X * jnp.asarray(self.scale, dtype=X.dtype)
+
+    def gram(self, X, Z=None):
+        Xt = self._tx(X)
+        Zt = None if Z is None else self._tx(Z)
+        return self.inner.gram(Xt, Zt)
+
+    def diag(self, X):
+        return self.inner.diag(self._tx(X))
+
+
+def ScaleTransform(scale: jax.Array):
+    """Returns a transform applicable via ``kernel ∘ ScaleTransform(s)`` in
+    the reference; here use ``transform(kernel, scale)`` semantics through
+    :class:`InputScaledKernel` — provided as a helper for API parity."""
+
+    def apply(kernel: Kernel) -> Kernel:
+        return InputScaledKernel(kernel, jnp.asarray(scale))
+
+    return apply
+
+
+def with_lengthscale(kernel: Kernel, lengthscale: jax.Array) -> Kernel:
+    """KernelFunctions.with_lengthscale: k((x - z) / lengthscale)."""
+    l = jnp.asarray(lengthscale)
+    return InputScaledKernel(kernel, 1.0 / l)
+
+
+@pytree_dataclass
+class SumKernel(Kernel):
+    left: Kernel
+    right: Kernel
+
+    def gram(self, X, Z=None):
+        return self.left.gram(X, Z) + self.right.gram(X, Z)
+
+    def diag(self, X):
+        return self.left.diag(X) + self.right.diag(X)
+
+
+@pytree_dataclass
+class ProductKernel(Kernel):
+    left: Kernel
+    right: Kernel
+
+    def gram(self, X, Z=None):
+        return self.left.gram(X, Z) * self.right.gram(X, Z)
+
+    def diag(self, X):
+        return self.left.diag(X) * self.right.diag(X)

@@ -1,0 +1,112 @@
+"""Dense linear-algebra primitives (L0 of SURVEY.md §1).
+
+The reference delegates this layer to Julia ``LinearAlgebra``/``PDMats`` with
+thin shims in ``src/utils.jl:6-20`` (``_chol_lower``, ``_chol_cov``) and the
+AbstractGPs helpers ``At_A``/``diag_At_A``/``Xt_invA_X``/``diag_Xt_invA_X``
+(used at ``src/SparseVariationalApproximationModule.jl:14-24`` and
+``src/NearestNeighborsModule.jl:84-88``).  Here they are jnp/lax primitives
+with a jittered-PSD guard; everything is dtype-polymorphic so the same code
+runs f64 on CPU for oracle tests and f32/bf16 on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "add_jitter",
+    "safe_cholesky",
+    "solve_lower_triangular",
+    "solve_upper_triangular",
+    "cholesky_solve",
+    "tril_logdet",
+    "chol_logdet",
+    "At_A",
+    "diag_At_A",
+    "Xt_invA_X",
+    "diag_Xt_invA_X",
+    "symmetrize",
+]
+
+
+def symmetrize(A: jax.Array) -> jax.Array:
+    return 0.5 * (A + jnp.swapaxes(A, -1, -2))
+
+
+def add_jitter(A: jax.Array, jitter: float | jax.Array) -> jax.Array:
+    n = A.shape[-1]
+    return A + jitter * jnp.eye(n, dtype=A.dtype)
+
+
+def safe_cholesky(A: jax.Array, jitter: float | jax.Array | None = None) -> jax.Array:
+    """Lower Cholesky factor of a symmetric PSD matrix, with optional jitter.
+
+    Mirrors ``_chol_cov(fx) = cholesky(Symmetric(cov(fx)))`` in the reference
+    (``src/utils.jl:17``); the jitter there lives in the FiniteGP noise, so
+    callers here usually pass ``jitter=None`` and add noise beforehand.
+    """
+    A = symmetrize(A)
+    if jitter is not None:
+        A = add_jitter(A, jitter)
+    return jnp.linalg.cholesky(A)
+
+
+def solve_lower_triangular(L: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve L X = B for lower-triangular L (i.e. ``L \\ B``)."""
+    b_vec = B.ndim == L.ndim - 1
+    if b_vec:
+        B = B[..., None]
+    X = lax.linalg.triangular_solve(
+        L, B, left_side=True, lower=True, transpose_a=False
+    )
+    return X[..., 0] if b_vec else X
+
+
+def solve_upper_triangular(U: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve U X = B for upper-triangular U (i.e. ``U \\ B``)."""
+    b_vec = B.ndim == U.ndim - 1
+    if b_vec:
+        B = B[..., None]
+    X = lax.linalg.triangular_solve(
+        U, B, left_side=True, lower=False, transpose_a=False
+    )
+    return X[..., 0] if b_vec else X
+
+
+def cholesky_solve(L: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve (L L^T) X = B given the lower Cholesky factor L."""
+    return solve_upper_triangular(jnp.swapaxes(L, -1, -2), solve_lower_triangular(L, B))
+
+
+def tril_logdet(L: jax.Array) -> jax.Array:
+    """log|det L| for a triangular factor L."""
+    return jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))), axis=-1)
+
+
+def chol_logdet(L: jax.Array) -> jax.Array:
+    """logdet of A = L L^T given its Cholesky factor."""
+    return 2.0 * tril_logdet(L)
+
+
+def At_A(A: jax.Array) -> jax.Array:
+    """A^T A (AbstractGPs.At_A)."""
+    return jnp.swapaxes(A, -1, -2) @ A
+
+
+def diag_At_A(A: jax.Array) -> jax.Array:
+    """diag(A^T A) without forming the product (AbstractGPs.diag_At_A)."""
+    return jnp.sum(A * A, axis=-2)
+
+
+def Xt_invA_X(L: jax.Array, X: jax.Array) -> jax.Array:
+    """X^T A^{-1} X given A's lower Cholesky factor L."""
+    V = solve_lower_triangular(L, X)
+    return At_A(V)
+
+
+def diag_Xt_invA_X(L: jax.Array, X: jax.Array) -> jax.Array:
+    """diag(X^T A^{-1} X) given A's lower Cholesky factor L."""
+    V = solve_lower_triangular(L, X)
+    return diag_At_A(V)

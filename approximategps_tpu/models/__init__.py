@@ -1,0 +1,25 @@
+from . import api, laplace, svgp, vecchia, vfe
+from .api import approx_lml, posterior
+from .laplace import (
+    LaplaceApproximation,
+    LaplacePosterior,
+    LaplaceResult,
+    build_laplace_objective,
+    laplace_f_and_lml,
+    laplace_f_cov,
+    laplace_lml,
+    laplace_steps,
+    newton_inner_loop,
+)
+from .svgp import (
+    SVGP,
+    Centered,
+    NonCentered,
+    SparseVariationalApproximation,
+    SVGPPosterior,
+    elbo,
+    inducing_points,
+    prior_kl,
+)
+from .vecchia import BandInvRoot, NearestNeighbors, approx_root_prec_band
+from .vfe import VFE, optimal_variational_posterior, vfe_elbo

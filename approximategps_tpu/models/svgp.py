@@ -1,0 +1,265 @@
+"""Sparse variational GP approximation (SVGP).
+
+TPU-native re-design of the reference's
+``src/SparseVariationalApproximationModule.jl`` (375 LoC): Hensman et al.
+(2015) SVGP with the two parametrizations ``Centered`` (unwhitened,
+reference ``:41``) and ``NonCentered`` (whitened, reference ``:57``, the
+default ``:93-95``).
+
+Semantics carried over exactly (posterior cache ``(Kuu_chol, B, α)``,
+predictive formulas via the projection ``A = Lk⁻¹ Kuf``, minibatch-scaled
+ELBO, closed-form whitened KL); mechanisms are TPU-first: everything is one
+jittable graph, Gram matrices ride the MXU, and the O(M²·B) projection can
+run as a pure matmul (precomputed ``Lk⁻¹``) so XLA tiles it onto the
+systolic array.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..core import linalg
+from ..core.distributions import MultivariateNormal, kl_divergence
+from ..core.gp import AbstractGP, FiniteGP, LatentFiniteGP
+from ..core.kernels import as_points
+from ..core.likelihoods import GaussianLikelihood
+from ..core.pytrees import pytree_dataclass, static_field
+from ..core.quadrature import DefaultExpectationMethod, expected_loglikelihood
+from .api import approx_lml, posterior
+
+__all__ = [
+    "Centered",
+    "NonCentered",
+    "SparseVariationalApproximation",
+    "SVGPPosterior",
+    "elbo",
+    "prior_kl",
+    "inducing_points",
+    "SVGP",
+]
+
+
+class _Parametrization:
+    def __eq__(self, other):
+        return type(self) is type(other)
+
+    def __hash__(self):
+        return hash(type(self))
+
+    def __repr__(self):
+        return f"{type(self).__name__}()"
+
+
+class Centered(_Parametrization):
+    """Unwhitened parametrization: ``q`` is the approximate posterior over the
+    pseudo-points directly (reference ``:28-41``)."""
+
+
+class NonCentered(_Parametrization):
+    """Whitened parametrization: ``q`` is over
+    ``cholesky(cov(u)).L \\ (u - mean(u))`` (reference ``:43-57``)."""
+
+
+@pytree_dataclass
+class SparseVariationalApproximation:
+    """Packages the inducing-point prior ``fz = f(z, jitter)`` and the
+    variational distribution ``q`` (reference struct at ``:59-62``).
+
+    ``SparseVariationalApproximation(fz, q)`` defaults to NonCentered
+    (reference ``:93-95``)."""
+
+    fz: FiniteGP
+    q: MultivariateNormal
+    parametrization: _Parametrization = static_field(default_factory=NonCentered)
+
+
+def SVGP(fz: FiniteGP, q: MultivariateNormal) -> SparseVariationalApproximation:
+    """Deprecated alias (reference ``src/deprecations.jl:1``): Centered SVGP."""
+    return SparseVariationalApproximation(fz, q, Centered())
+
+
+@pytree_dataclass
+class _SVGPCache:
+    """Posterior data cache — reference ``data = (Kuu=..., B=..., α=...)`` at
+    ``:134`` / ``:185``.  ``Lk_inv`` is the optional precomputed inverse
+    Cholesky factor enabling the matmul-only projection path on TPU."""
+
+    Kuu_L: jax.Array
+    B: jax.Array
+    alpha: jax.Array
+    Lk_inv: jax.Array | None = None
+
+
+@pytree_dataclass
+class SVGPPosterior(AbstractGP):
+    """ApproxPosteriorGP{SparseVariationalApproximation} with the prediction
+    methods of reference ``:208-264``."""
+
+    approx: SparseVariationalApproximation
+    cache: _SVGPCache
+
+    @property
+    def prior(self) -> AbstractGP:
+        return self.approx.fz.f
+
+    def inducing_points(self) -> jax.Array:
+        return self.approx.fz.x
+
+    # A = Lk⁻¹ Ku* — the projection matrix (reference `_A_and_Kuf`, :215-219)
+    def _A_and_Kuf(self, x):
+        Kuf = self.prior.cov(self.inducing_points(), x)
+        if self.cache.Lk_inv is not None:
+            A = jnp.matmul(self.cache.Lk_inv, Kuf, precision=config.matmul_precision)
+        else:
+            A = linalg.solve_lower_triangular(self.cache.Kuu_L, Kuf)
+        return A, Kuf
+
+    def mean(self, x):
+        Kuf = self.prior.cov(self.inducing_points(), x)
+        return self.prior.mean(x) + Kuf.T @ self.cache.alpha
+
+    def cov(self, x, z=None):
+        B = self.cache.B
+        Ax, _ = self._A_and_Kuf(x)
+        if z is None:
+            return (
+                self.prior.cov(x)
+                - linalg.At_A(Ax)
+                + linalg.At_A(B.T @ Ax)
+            )
+        Az, _ = self._A_and_Kuf(z)
+        return self.prior.cov(x, z) - Ax.T @ Az + (B.T @ Ax).T @ (B.T @ Az)
+
+    def var(self, x):
+        A, _ = self._A_and_Kuf(x)
+        return (
+            self.prior.var(x)
+            - linalg.diag_At_A(A)
+            + linalg.diag_At_A(self.cache.B.T @ A)
+        )
+
+    def mean_and_cov(self, x):
+        A, Kuf = self._A_and_Kuf(x)
+        mu = self.prior.mean(x) + Kuf.T @ self.cache.alpha
+        S = self.prior.cov(x) - linalg.At_A(A) + linalg.At_A(self.cache.B.T @ A)
+        return mu, S
+
+    def mean_and_var(self, x):
+        A, Kuf = self._A_and_Kuf(x)
+        mu = self.prior.mean(x) + Kuf.T @ self.cache.alpha
+        v = (
+            self.prior.var(x)
+            - linalg.diag_At_A(A)
+            + linalg.diag_At_A(self.cache.B.T @ A)
+        )
+        return mu, v
+
+
+def inducing_points(f_post: SVGPPosterior) -> jax.Array:
+    """Reference ``inducing_points`` accessor (``:270``)."""
+    return f_post.inducing_points()
+
+
+def _maybe_inv(L: jax.Array) -> jax.Array | None:
+    if config.solve_mode == "inv_matmul":
+        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+        return linalg.solve_lower_triangular(L, eye)
+    return None
+
+
+@posterior.register(SparseVariationalApproximation)
+def _posterior_svgp(
+    sva: SparseVariationalApproximation, lfx=None, ys=None, **_
+) -> SVGPPosterior:
+    """posterior(sva[, lfx, ys]) — reference ``:115-136`` (Centered) and
+    ``:160-187`` (NonCentered).  The 3-arg form only asserts prior
+    consistency then delegates (reference ``:189-201``)."""
+    if lfx is not None:
+        _check_consistent_prior(sva, lfx)
+    q, fz = sva.q, sva.fz
+    m = q.mean
+    Kuu_L = fz.scale_tril()  # chol(Kuu + jitter I): M×M Gram + O(M³) chol
+    if isinstance(sva.parametrization, Centered):
+        # B = Lk⁻¹ Lq ; α = Kuu⁻¹ (m − mean(fz))
+        B = linalg.solve_lower_triangular(Kuu_L, q.scale_tril)
+        alpha = linalg.cholesky_solve(Kuu_L, m - fz.mean())
+    else:
+        # NonCentered: α = Lk⁻ᵀ m ; B = Lq
+        alpha = linalg.solve_upper_triangular(Kuu_L.T, m)
+        B = q.scale_tril
+    cache = _SVGPCache(Kuu_L=Kuu_L, B=B, alpha=alpha, Lk_inv=_maybe_inv(Kuu_L))
+    return SVGPPosterior(approx=sva, cache=cache)
+
+
+def _check_consistent_prior(sva, lfx):
+    fx = lfx.fx if isinstance(lfx, LatentFiniteGP) else lfx
+    prior = fx.f
+    if prior is sva.fz.f:
+        return
+    # Under tracing we cannot compare parameter values; require at least
+    # structural equality of the two prior pytrees (reference `===` check,
+    # :347-351).
+    if jax.tree_util.tree_structure(prior) != jax.tree_util.tree_structure(sva.fz.f):
+        raise ValueError(
+            "(Latent)FiniteGP prior is not consistent with "
+            "SparseVariationalApproximation's"
+        )
+
+
+def prior_kl(sva: SparseVariationalApproximation) -> jax.Array:
+    """KL(q(u) ‖ p(u)) — reference ``_prior_kl`` (``:362-373``)."""
+    if isinstance(sva.parametrization, Centered):
+        return kl_divergence(sva.q, sva.fz.to_mvn())
+    # NonCentered closed-form whitened KL (reference :364-373):
+    # (tr(Cε) + mᵀm − len − logdet Cε) / 2
+    m = sva.q.mean
+    L = sva.q.scale_tril
+    trace_term = jnp.sum(L * L)
+    logdet = linalg.chol_logdet(L)
+    return 0.5 * (trace_term + m @ m - m.shape[-1] - logdet)
+
+
+def elbo(
+    sva: SparseVariationalApproximation,
+    lfx: LatentFiniteGP | FiniteGP,
+    y: jax.Array,
+    num_data: int | None = None,
+    quadrature=None,
+) -> jax.Array:
+    """Evidence lower bound (reference ``:307-360``).
+
+    Accepts a ``FiniteGP`` with *isotropic* Gaussian noise (wrapped into a
+    GaussianLikelihood exactly as the reference dispatch does, ``:307-317``)
+    or a ``LatentFiniteGP`` with any likelihood.  ``num_data`` enables
+    minibatch scaling ``num_data / n_batch`` (reference ``:357-359``)."""
+    if quadrature is None:
+        quadrature = DefaultExpectationMethod()
+    if isinstance(lfx, FiniteGP):
+        if not lfx.is_isotropic_noise:
+            raise ValueError(
+                "The observation noise fx.Σy must be homoscedastic.\n"
+                "To avoid this error, construct fx using: f = GP(kernel); "
+                "fx = f(x, σ²), where σ² is a positive Real."
+            )
+        lik = GaussianLikelihood(jnp.asarray(lfx.noise))
+        lfx = LatentFiniteGP(lfx, lik)
+
+    _check_consistent_prior(sva, lfx)
+
+    f_post = _posterior_svgp(sva)
+    q_mean, q_var = f_post.mean_and_var(lfx.fx.x)
+    variational_exp = expected_loglikelihood(quadrature, lfx.lik, q_mean, q_var, y)
+
+    n_batch = y.shape[0]
+    scale = 1.0 if num_data is None else num_data / n_batch
+    return jnp.sum(variational_exp) * scale - prior_kl(sva)
+
+
+@approx_lml.register(SparseVariationalApproximation)
+def _approx_lml_svgp(sva, lfx, ys, **kwargs):
+    """approx_lml = elbo for SVGP (reference ``:276-280``)."""
+    return elbo(sva, lfx, ys, **kwargs)

@@ -1,0 +1,175 @@
+"""Nearest-neighbor (Vecchia) GP approximation.
+
+TPU-native re-design of the reference's ``src/NearestNeighborsModule.jl``
+(115 LoC): the joint factorises as ``∏ p(f_i | f_{i−k:i−1})`` over the *k
+previous points in the given ordering* (Datta 2022 eq. 9-10; reference
+``:63-72``), giving a sparse precision root ``U = (I−B)ᵀ F^{−1/2}``.
+
+TPU re-design decisions (SURVEY.md §7.7):
+- TPUs have no sparse support, and under the previous-k ordering ``B`` is
+  *banded* with bandwidth k — so ``U`` is stored densely as an (N, k+1) band
+  and all products become gather-window einsums (regular memory access,
+  vmappable, shardable over N),
+- each point's row of B and its conditional variance F_i come from ONE
+  batched k×k Cholesky factorization (the reference recomputes the same
+  k×k solve twice, ``make_B``/``make_F`` at ``:28`` and ``:56``),
+- the N independent k×k factorizations are one big batched
+  ``jnp.linalg.cholesky`` (optionally chunked with ``lax.map`` to bound
+  memory at N=1e6).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core import linalg
+from ..core.gp import FiniteGP, PosteriorGP
+from ..core.kernels import Kernel, as_points
+from ..core.pytrees import pytree_dataclass, static_field
+from .api import approx_lml, posterior
+
+__all__ = [
+    "NearestNeighbors",
+    "BandInvRoot",
+    "approx_root_prec_band",
+    "band_Ut_matmul",
+    "band_U_matvec",
+]
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+@pytree_dataclass
+class NearestNeighbors:
+    """k-nearest-neighbor (Vecchia) approximation (reference struct ``:73-75``).
+
+    ``block_size`` chunks the batched small-Cholesky construction to bound
+    peak memory for very large N (the (N, k, k) neighbor-Gram tensor)."""
+
+    k: int = static_field()
+    block_size: int | None = static_field(default=None)
+
+
+def band_Ut_matmul(Uband: jax.Array, X: jax.Array) -> jax.Array:
+    """Uᵀ X for the banded upper-triangular U, X of shape (N,) or (N, P).
+
+    (Uᵀ X)[i] = Σ_{t=0..k} Uband[i, t] · X[i−k+t]."""
+    N, kp1 = Uband.shape
+    k = kp1 - 1
+    vec = X.ndim == 1
+    if vec:
+        X = X[:, None]
+    idx = jnp.arange(N)[:, None] - k + jnp.arange(kp1)[None, :]  # (N, k+1)
+    mask = idx >= 0
+    idxc = jnp.clip(idx, 0, N - 1)
+    Xw = X[idxc]  # (N, k+1, P)
+    coeff = jnp.where(mask, Uband, 0.0)
+    out = jnp.einsum("nt,ntp->np", coeff, Xw)
+    return out[:, 0] if vec else out
+
+
+def band_U_matvec(Uband: jax.Array, w: jax.Array) -> jax.Array:
+    """U w for the banded upper-triangular U.
+
+    (U w)[j] = Σ_{s=0..k} U[j, j+s] w[j+s], with U[j, j+s] = Uband[j+s, k−s]."""
+    N, kp1 = Uband.shape
+    k = kp1 - 1
+    j = jnp.arange(N)[:, None]
+    s = jnp.arange(kp1)[None, :]
+    idx = j + s  # (N, k+1)
+    mask = idx <= N - 1
+    idxc = jnp.clip(idx, 0, N - 1)
+    coeff = jnp.where(mask, Uband[idxc, k - s], 0.0)
+    wv = jnp.where(mask, w[idxc], 0.0)
+    return jnp.sum(coeff * wv, axis=1)
+
+
+@pytree_dataclass
+class BandInvRoot:
+    """Lazy representation of ``inv(U Uᵀ)`` via the band of U — the JAX
+    analogue of the reference's ``InvRoot`` (``:77-88``), pluggable into
+    :class:`~approximategps_tpu.core.gp.PosteriorGP` so all exact-posterior
+    prediction code paths are reused, exactly as the reference reuses
+    AbstractGPs' ``PosteriorGP``."""
+
+    Uband: jax.Array  # (N, k+1); [:, -1] is the diagonal of U
+
+    def whiten(self, X: jax.Array) -> jax.Array:
+        """V = Uᵀ X, so VᵀV = Xᵀ (U Uᵀ) X = Xᵀ inv(A) X."""
+        return band_Ut_matmul(self.Uband, X)
+
+    def logdet(self) -> jax.Array:
+        """logdet(inv(UUᵀ)) = −2 logdet U (reference ``:82``)."""
+        return -2.0 * jnp.sum(jnp.log(self.Uband[:, -1]))
+
+
+def approx_root_prec_band(x: jax.Array, k: int, kern: Kernel, block_size=None):
+    """Banded upper-triangular root of the approximate precision,
+    U = (I−B)ᵀ F^{−1/2} (reference ``approx_root_prec`` ``:91-95``),
+    returned as an (N, k+1) band: ``Uband[i, t] = U[i−k+t, i]``.
+
+    One batched k×k Cholesky per point yields both the B-row and F-diag
+    (merging the duplicated solves at reference ``:28`` and ``:56``)."""
+    Xp = as_points(x)
+    N = Xp.shape[0]
+    dtype = Xp.dtype
+    kern_diag = kern.diag(Xp)  # (N,)
+
+    def row(i):
+        t = jnp.arange(k)
+        idx = i - k + t
+        mask = idx >= 0
+        idxc = jnp.clip(idx, 0, N - 1)
+        Xw = Xp[idxc]  # (k, D)
+        xi = Xp[i][None, :]  # (1, D)
+        Kw = kern.gram(Xw)
+        pair_mask = mask[:, None] & mask[None, :]
+        Kw = jnp.where(pair_mask, Kw, jnp.eye(k, dtype=dtype))
+        kni = jnp.where(mask, kern.gram(Xw, xi)[:, 0], 0.0)
+        L = jnp.linalg.cholesky(Kw)
+        b = linalg.cholesky_solve(L, kni)  # B row (reference make_row, :27-29)
+        Fi = kern_diag[i] - kni @ b  # conditional var (reference make_F, :46-61)
+        inv_sqrt_F = 1.0 / jnp.sqrt(Fi)
+        uband_i = jnp.concatenate([-b * inv_sqrt_F, inv_sqrt_F[None]])
+        return uband_i
+
+    indices = jnp.arange(N)
+    if block_size is None or block_size >= N:
+        Uband = jax.vmap(row)(indices)
+    else:
+        bs = block_size
+        pad = (-N) % bs
+        idx_pad = jnp.concatenate([indices, jnp.zeros(pad, dtype=indices.dtype)])
+        blocks = idx_pad.reshape(-1, bs)
+        Uband = jax.lax.map(jax.vmap(row), blocks).reshape(-1, k + 1)[:N]
+    return Uband
+
+
+@posterior.register(NearestNeighbors)
+def _posterior_nn(nn: NearestNeighbors, fx: FiniteGP, y: jax.Array, **_):
+    """Reference ``:97-106``: returns a PosteriorGP masquerading as exact,
+    with data (α = U Uᵀ δ, C = InvRoot(U), x, δ)."""
+    kern = fx.f.kernel
+    Uband = approx_root_prec_band(fx.x, nn.k, kern, nn.block_size)
+    delta = y - fx.mean()
+    alpha = band_U_matvec(Uband, band_Ut_matmul(Uband, delta))
+    return PosteriorGP(
+        prior=fx.f,
+        x=as_points(fx.x),
+        alpha=alpha,
+        rep=BandInvRoot(Uband),
+        delta=delta,
+    )
+
+
+@approx_lml.register(NearestNeighbors)
+def _approx_lml_nn(nn: NearestNeighbors, fx: FiniteGP, y: jax.Array, **_):
+    """Reference ``:108-113``: −(logdet C + N log2π + αᵀδ)/2."""
+    post = _posterior_nn(nn, fx, y)
+    quadform = post.alpha @ post.delta
+    ld = post.rep.logdet()
+    n = y.shape[0]
+    return -(ld + n * _LOG2PI + quadform) / 2.0

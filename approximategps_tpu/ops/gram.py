@@ -1,0 +1,79 @@
+"""Fused Pallas Gram-matrix kernel for stationary kernels.
+
+Computes ``K[i, j] = g(||x_i - z_j||²)`` in one VMEM pass per output tile:
+the squared-distance tile rides the MXU (``-2·X Zᵀ`` dot plus rank-1 norm
+corrections) and the elementwise kernel map ``g`` is fused in-register — no
+HBM round-trip for the r² intermediate.  This is the TPU replacement for
+KernelFunctions.jl's ``kernelmatrix`` (SURVEY.md §2.2, row 1).
+
+Falls back to interpret mode off-TPU so CPU tests exercise the same code.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..config import config
+
+__all__ = ["pallas_stationary_gram"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _gram_kernel(x_ref, z_ref, o_ref, *, k_of_r2: Callable):
+    x = x_ref[:]  # (TM, D)
+    z = z_ref[:]  # (TN, D)
+    xz = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+    x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    z2 = jnp.sum(z.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    r2 = jnp.maximum(x2 + z2.T - 2.0 * xz, 0.0)
+    o_ref[:] = k_of_r2(r2).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("k_of_r2", "tile_m", "tile_n"))
+def pallas_stationary_gram(
+    X: jax.Array,
+    Z: jax.Array,
+    k_of_r2: Callable,
+    tile_m: int = 256,
+    tile_n: int = 256,
+) -> jax.Array:
+    """K = g(pairwise_sq_dist(X, Z)) with the distance + map fused on-chip.
+
+    X: (N, D), Z: (M, D).  Output (N, M) in X's dtype (accumulation f32).
+    """
+    N, D = X.shape
+    M = Z.shape[0]
+    out_dtype = X.dtype
+
+    tile_m = min(tile_m, _round_up(N, 8))
+    tile_n = min(tile_n, _round_up(M, 128))
+    Np = _round_up(N, tile_m)
+    Mp = _round_up(M, tile_n)
+    Dp = _round_up(D, 128) if D > 1 else D
+
+    Xp = jnp.zeros((Np, Dp), dtype=X.dtype).at[:N, :D].set(X)
+    Zp = jnp.zeros((Mp, Dp), dtype=Z.dtype).at[:M, :D].set(Z)
+
+    interpret = config.pallas_interpret or jax.default_backend() != "tpu"
+
+    grid = (Np // tile_m, Mp // tile_n)
+    out = pl.pallas_call(
+        partial(_gram_kernel, k_of_r2=k_of_r2),
+        out_shape=jax.ShapeDtypeStruct((Np, Mp), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_n, Dp), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j)),
+        interpret=interpret,
+    )(Xp, Zp)
+    return out[:N, :M]

@@ -1,0 +1,11 @@
+from . import bijectors, checkpoint, training
+from .bijectors import (
+    cholesky_parameter,
+    fill_triangular,
+    fill_triangular_inverse,
+    invsoftplus,
+    positive,
+    softplus,
+)
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .training import SVGPParams, adam_fit, build_svgp, init_svgp_params, natgrad_update

