@@ -443,8 +443,8 @@ class LaplaceObjective:
         self.cache = _ObjectiveCache()
         self.newton_steps = 0
 
-        def _core(theta, f_init):
-            lf = self.build_latent_gp(theta)
+        def _core(args, f_init):
+            lf = self.build_latent_gp(*args)
             lfx = lf(self.xs)
             f_opt, lml, n_iter = laplace_f_and_lml(
                 lfx,
@@ -462,10 +462,10 @@ class LaplaceObjective:
             else jax.value_and_grad(_core, has_aux=True)
         )
 
-    def _f_init(self, theta):
+    def _f_init(self, args):
         if self.cache.f is not None:
             return self.cache.f
-        lfx = self.build_latent_gp(theta)(self.xs)
+        lfx = self.build_latent_gp(*args)(self.xs)
         return lfx.fx.mean()
 
     def _post(self, f_opt, n_iter):
@@ -477,16 +477,19 @@ class LaplaceObjective:
         if self.newton_warmstart:
             self.cache.f = f_opt
 
-    def __call__(self, theta):
-        neg_lml, (f_opt, n_iter) = self._value(theta, self._f_init(theta))
+    def __call__(self, *args):
+        neg_lml, (f_opt, n_iter) = self._value(args, self._f_init(args))
         self._post(f_opt, n_iter)
         return neg_lml
 
-    def value_and_grad(self, theta):
+    def value_and_grad(self, *args):
         (neg_lml, (f_opt, n_iter)), grad = self._value_and_grad(
-            theta, self._f_init(theta)
+            args, self._f_init(args)
         )
         self._post(f_opt, n_iter)
+        neg_lml = neg_lml
+        if len(args) == 1:
+            grad = grad[0]
         return neg_lml, grad
 
 

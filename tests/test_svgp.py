@@ -1,0 +1,284 @@
+"""SVGP tests mirroring the reference's
+``test/SparseVariationalApproximationModule.jl``: interface conformance,
+centered/non-centered equivalence, ELBO bounds, exact GPR/VFE equivalences
+with the optimal variational posterior, and Adam-trained recovery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import approximategps_tpu as agp
+from approximategps_tpu.core import linalg
+from approximategps_tpu.models.svgp import prior_kl
+from approximategps_tpu.models.vfe import optimal_variational_posterior
+from approximategps_tpu.test_utils import check_internal_gp_interface
+from approximategps_tpu.utils.bijectors import softplus
+
+
+def make_kernel(k):
+    """Reference test/test_utils.jl:2: softplus(k1) * (SE ∘ ScaleTransform(softplus(k2)))."""
+    return softplus(k[0]) * agp.InputScaledKernel(agp.SqExponentialKernel(), softplus(k[1]))
+
+
+@pytest.fixture
+def elbo_setup():
+    key = jax.random.PRNGKey(654321)
+    N = 20
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (N,)) * 10
+    y = jnp.sin(x) + 0.9 * jnp.cos(x * 1.6) + 0.4 * jax.random.uniform(k2, (N,))
+    return x, y
+
+
+def test_abstractgps_interface(key):
+    N_cond, M, N_a, N_b = 5, 4, 6, 7
+    f = agp.GP(agp.Matern32Kernel())
+    x = jnp.linspace(-1, 1, N_cond)
+    fx = f(x, 1e-3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    y = fx.sample(k1)
+    z = jnp.linspace(-1, 1, M)
+    fz = f(z, 1e-6)
+
+    q_centered = optimal_variational_posterior(fz, fx, y)
+    approx_centered = agp.SparseVariationalApproximation(fz, q_centered, agp.Centered())
+    post_centered = agp.posterior(approx_centered)
+
+    a = jnp.linspace(-1, 1, N_a)
+    b = jax.random.normal(k2, (N_b,))
+    check_internal_gp_interface(k3, post_centered, a, b)
+
+    # NonCentered: construct equivalent whitened q_ε (reference test :37-49)
+    q = optimal_variational_posterior(fz, fx, y)
+    Luu = fz.scale_tril()
+    m_eps = linalg.solve_lower_triangular(Luu, q.mean - fz.mean())
+    C_eps = linalg.solve_lower_triangular(
+        Luu, linalg.solve_lower_triangular(Luu, q.cov()).T
+    ).T
+    q_eps = agp.mvnormal_from_cov(m_eps, C_eps)
+
+    # check q_ε was properly constructed
+    np.testing.assert_allclose(q.mean, fz.mean() + Luu @ q_eps.mean, atol=1e-9)
+    np.testing.assert_allclose(q.cov(), Luu @ q_eps.cov() @ Luu.T, atol=1e-9)
+
+    approx_nc = agp.SparseVariationalApproximation(fz, q_eps, agp.NonCentered())
+    post_nc = agp.posterior(approx_nc)
+    check_internal_gp_interface(k3, post_nc, a, b)
+
+    # non-centered posterior/KL/elbo agree with centered (reference :61-71)
+    np.testing.assert_allclose(
+        prior_kl(approx_nc), prior_kl(approx_centered), rtol=1e-5
+    )
+    np.testing.assert_allclose(post_nc.mean(a), post_centered.mean(a), atol=1e-8)
+    np.testing.assert_allclose(post_nc.cov(a, b), post_centered.cov(a, b), atol=1e-8)
+    np.testing.assert_allclose(
+        agp.elbo(approx_nc, fx, y), agp.elbo(approx_centered, fx, y), rtol=1e-8
+    )
+
+
+def test_elbo(elbo_setup):
+    x, y = elbo_setup
+    z = x[:5]
+    kernel = make_kernel([0.2, 0.6])
+    f = agp.GP(kernel)
+    fx = f(x, 0.1)
+    fz = f(z, 0.0)
+    q_ex = optimal_variational_posterior(fz, fx, y)
+    # q_ex is the (centered) optimal q(u); interpret it with the Centered
+    # parametrization so the bound is tight.
+    sva = agp.SparseVariationalApproximation(fz, q_ex, agp.Centered())
+
+    e = agp.elbo(sva, fx, y)
+    assert np.ndim(e) == 0 and np.isfinite(e)
+    assert float(e) <= float(fx.logpdf(y))
+
+    # heteroscedastic noise must raise (reference :319-327 dispatch error)
+    fx_bad = f(x, jnp.full(len(y), 0.1))
+    with pytest.raises(ValueError):
+        agp.elbo(sva, fx_bad, y)
+
+    # latent-GP Gaussian elbo == FiniteGP elbo (reference :93-99)
+    lf = agp.LatentGP(f, agp.GaussianLikelihood(0.1), 1e-18)
+    lfx = lf(x)
+    np.testing.assert_allclose(agp.elbo(sva, lfx, y), agp.elbo(sva, fx, y), atol=1e-9)
+
+    # approx_lml delegates to elbo
+    np.testing.assert_allclose(agp.approx_lml(sva, fx, y), agp.elbo(sva, fx, y))
+
+
+def test_gpr_and_vfe_equivalences(elbo_setup):
+    """Reference :101-135: SVGP with optimal q(u), z == x, equals exact GPR
+    and the VFE posterior to 1e-10."""
+    x, y = elbo_setup
+    z = x.copy()
+    lik_noise = 0.1
+    kernel = make_kernel([0.2, 0.6])
+    f = agp.GP(kernel)
+    fx = f(x, lik_noise)
+    fz = f(z, 0.0)
+    q_ex = optimal_variational_posterior(fz, fx, y)
+
+    gpr_post = agp.posterior(fx, y)
+    vfe_post = agp.posterior(agp.VFE(fz), fx, y)
+    svgp_post = agp.posterior(
+        agp.SparseVariationalApproximation(fz, q_ex, agp.Centered())
+    )
+
+    np.testing.assert_allclose(gpr_post.mean(x), svgp_post.mean(x), atol=1e-10)
+    np.testing.assert_allclose(gpr_post.cov(x), svgp_post.cov(x), atol=1e-10)
+    np.testing.assert_allclose(vfe_post.mean(x), svgp_post.mean(x), atol=1e-10)
+    np.testing.assert_allclose(vfe_post.cov(x), svgp_post.cov(x), atol=1e-10)
+
+    e = agp.elbo(agp.SparseVariationalApproximation(fz, q_ex, agp.Centered()), fx, y)
+    assert float(e) <= float(fx.logpdf(y)) + 1e-5
+    # collapsed VFE bound: with z == x it equals the exact log evidence
+    ev = agp.vfe_elbo(agp.VFE(fz), fx, y)
+    assert float(ev) <= float(fx.logpdf(y)) + 1e-5
+    np.testing.assert_allclose(float(ev), float(fx.logpdf(y)), rtol=1e-8)
+    # collapsed bound == uncollapsed elbo at the optimal q (Titsias identity);
+    # checked with a jittered Kuu since the identity is condition-sensitive
+    fzj = f(z, 1e-8)
+    q_j = optimal_variational_posterior(fzj, fx, y)
+    e_j = agp.elbo(agp.SparseVariationalApproximation(fzj, q_j, agp.Centered()), fx, y)
+    ev_j = agp.vfe_elbo(agp.VFE(fzj), fx, y)
+    np.testing.assert_allclose(float(ev_j), float(e_j), rtol=1e-6)
+
+
+def test_optimised_posterior_recovers_gpr(elbo_setup):
+    """Reference :137-186: Adam-trained SVGP (z == x fixed) recovers the
+    exact GP regression posterior.  lax.scan-compiled training loop."""
+    x, y = elbo_setup
+    N = x.shape[0]
+    lik_noise = 0.1
+    jitter = 1e-5
+    k_init = jnp.array([0.2, 0.6])
+
+    def construct(params):
+        f = agp.GP(make_kernel(params["k"]))
+        fx = f(x, lik_noise)
+        fz = f(params["z"], jitter)
+        L = jnp.tril(params["A"])
+        q = agp.MultivariateNormal(params["m"], L)
+        return agp.SparseVariationalApproximation(fz, q, agp.Centered()), fx
+
+    params0 = {
+        "k": k_init,
+        "z": x.copy(),
+        "m": jnp.zeros(N),
+        "A": jnp.eye(N),
+    }
+
+    def loss(params):
+        sva, fx = construct(params)
+        return -agp.elbo(sva, fx, y)
+
+    # train only m, A (reference Flux.@layer trainable = (m, A))
+    opt = optax.multi_transform(
+        {"train": optax.adam(1e-3), "freeze": optax.set_to_zero()},
+        {"k": "freeze", "z": "freeze", "m": "train", "A": "train"},
+    )
+    opt_state = opt.init(params0)
+
+    def step(carry, _):
+        params, opt_state = carry
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), val
+
+    (params, _), vals = jax.lax.scan(step, (params0, opt_state), None, length=20000)
+
+    f_gpr = agp.GP(make_kernel(k_init))
+    gpr_post = agp.posterior(f_gpr(x, lik_noise), y)
+    svgp_post = agp.posterior(construct(params)[0])
+
+    np.testing.assert_allclose(gpr_post.mean(x), svgp_post.mean(x), atol=1e-4)
+    np.testing.assert_allclose(gpr_post.cov(x), svgp_post.cov(x), atol=1e-4)
+
+
+def test_minibatch_scaling(elbo_setup):
+    x, y = elbo_setup
+    z = x[:5]
+    f = agp.GP(make_kernel([0.2, 0.6]))
+    fx = f(x, 0.1)
+    fz = f(z, 0.0)
+    q = optimal_variational_posterior(fz, fx, y)
+    sva = agp.SparseVariationalApproximation(fz, q, agp.Centered())
+
+    full = agp.elbo(sva, fx, y, num_data=len(y))
+    plain = agp.elbo(sva, fx, y)
+    np.testing.assert_allclose(full, plain)
+
+    # scaled minibatch elbo: data term scales, KL does not
+    b = 4
+    fxb = f(x[:b], 0.1)
+    e_b = agp.elbo(sva, fxb, y[:b], num_data=len(y))
+    kl = prior_kl(sva)
+    data_term_b = float(e_b + kl)
+    # compute expected scaling directly
+    post = agp.posterior(sva)
+    mu, var = post.mean_and_var(x[:b])
+    from approximategps_tpu.core.quadrature import Analytic, expected_loglikelihood
+
+    ve = expected_loglikelihood(
+        Analytic(), agp.GaussianLikelihood(0.1), mu, var, y[:b]
+    )
+    np.testing.assert_allclose(data_term_b, float(jnp.sum(ve)) * len(y) / b, rtol=1e-10)
+
+
+def test_elbo_jit_and_grad(elbo_setup):
+    """The north-star usage: one jitted value_and_grad over all parameters."""
+    x, y = elbo_setup
+    M = 5
+
+    def loss(params):
+        f = agp.GP(make_kernel(params["k"]))
+        fx = f(x, softplus(params["raw_noise"]))
+        fz = f(params["z"], 1e-6)
+        L = jnp.tril(params["A"]) + 1e-12 * jnp.eye(M)
+        q = agp.MultivariateNormal(params["m"], L)
+        sva = agp.SparseVariationalApproximation(fz, q)  # NonCentered default
+        return -agp.elbo(sva, fx, y, num_data=len(y))
+
+    params = {
+        "k": jnp.array([0.2, 0.6]),
+        "raw_noise": jnp.array(0.0),
+        "z": x[:M].copy(),
+        "m": jnp.zeros(M),
+        "A": jnp.eye(M),
+    }
+    val, grads = jax.jit(jax.value_and_grad(loss))(params)
+    assert np.isfinite(val)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(g)) for g in flat)
+    assert any(np.any(np.asarray(g) != 0) for g in flat)
+
+
+def test_poisson_svgp_elbo(key):
+    """Non-conjugate SVGP with Poisson likelihood (BASELINE.json config #3)."""
+    k1, k2 = jax.random.split(key)
+    N, M = 40, 8
+    x = jnp.sort(jax.random.uniform(k1, (N,)) * 6)
+    f_true = jnp.sin(x) + 0.5
+    y = jax.random.poisson(k2, jnp.exp(f_true))
+
+    f = agp.GP(agp.SqExponentialKernel())
+    lf = agp.LatentGP(f, agp.PoissonLikelihood(), 1e-8)
+    fz = f(x[::5], 1e-6)
+    q = agp.MultivariateNormal(jnp.zeros(M), jnp.eye(M))
+    sva = agp.SparseVariationalApproximation(fz, q)
+
+    e = agp.elbo(sva, lf(x), y)
+    assert np.isfinite(e)
+    g = jax.grad(
+        lambda m: -agp.elbo(
+            agp.SparseVariationalApproximation(
+                fz, agp.MultivariateNormal(m, jnp.eye(M))
+            ),
+            lf(x),
+            y,
+        )
+    )(jnp.zeros(M))
+    assert np.all(np.isfinite(g)) and np.any(np.asarray(g) != 0)

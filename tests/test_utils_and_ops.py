@@ -1,0 +1,122 @@
+"""Tests for utils (bijectors, training, checkpoint) and Pallas ops
+(interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import approximategps_tpu as agp
+from approximategps_tpu.config import config_context
+from approximategps_tpu.ops.gram import pallas_stationary_gram
+from approximategps_tpu.utils import bijectors as bj
+from approximategps_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from approximategps_tpu.utils.training import (
+    build_svgp,
+    init_svgp_params,
+    natgrad_update,
+)
+
+
+def test_softplus_roundtrip():
+    y = jnp.array([0.1, 1.0, 5.0, 20.0])
+    np.testing.assert_allclose(bj.softplus(bj.invsoftplus(y)), y, rtol=1e-10)
+
+
+def test_fill_triangular_roundtrip(key):
+    n = 5
+    flat = jax.random.normal(key, (n * (n + 1) // 2,))
+    L = bj.fill_triangular(flat, n)
+    assert np.allclose(np.asarray(L), np.tril(np.asarray(L)))
+    np.testing.assert_allclose(bj.fill_triangular_inverse(L), flat)
+
+
+def test_cholesky_parameter_valid(key):
+    n = 4
+    flat = jax.random.normal(key, (n * (n + 1) // 2,))
+    L = bj.cholesky_parameter(flat, n)
+    assert (np.diag(np.asarray(L)) > 0).all()
+    assert np.allclose(np.asarray(L), np.tril(np.asarray(L)))
+
+
+def test_checkpoint_roundtrip(tmp_path, key):
+    params = {
+        "a": jax.random.normal(key, (3, 2)),
+        "nested": {"b": jnp.arange(4.0)},
+    }
+    save_checkpoint(str(tmp_path), params, step=7)
+    template = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored = restore_checkpoint(str(tmp_path), template)
+    for k in ("a",):
+        np.testing.assert_allclose(restored[k], params[k])
+    np.testing.assert_allclose(restored["nested"]["b"], params["nested"]["b"])
+
+
+def test_svgp_params_helpers(key):
+    z = jnp.linspace(0, 1, 6)
+    params = init_svgp_params(z, variance=2.0, lengthscale=0.5)
+    sva, f = build_svgp(params)
+    # initial q is standard normal (whitened prior == prior)
+    np.testing.assert_allclose(sva.q.mean, np.zeros(6))
+    np.testing.assert_allclose(sva.q.cov(), np.eye(6), atol=1e-8)
+    np.testing.assert_allclose(f.kernel.variance, 2.0, rtol=1e-8)
+
+
+def test_natgrad_step_moves_toward_optimum(key):
+    """Natural-gradient on a conjugate toy: maximizing E_q[log N(y|f,σ²)] −
+    KL(q‖p) in one natgrad step with lr=1 lands exactly on the optimum."""
+    n = 4
+    k1, k2 = jax.random.split(key)
+    y = jax.random.normal(k1, (n,))
+    s2 = 0.5
+    # prior p = N(0, I); optimum: S* = (I + I/s2)^-1, m* = S* y / s2
+    def elbo(m, S_L):
+        S = S_L @ S_L.T
+        ell = -0.5 * jnp.sum(((y - m) ** 2 + jnp.diag(S)) / s2)
+        q = agp.MultivariateNormal(m, S_L)
+        p = agp.MultivariateNormal(jnp.zeros(n), jnp.eye(n))
+        return ell - agp.kl_divergence(q, p)
+
+    m0, L0 = jnp.zeros(n), jnp.eye(n)
+
+    def elbo_mS(m, S):
+        # gradient w.r.t. dense S (treating S as free symmetric input)
+        S_L = jnp.linalg.cholesky(S)
+        return elbo(m, S_L)
+
+    gm = jax.grad(elbo, argnums=0)(m0, L0)
+    gS = jax.grad(elbo_mS, argnums=1)(m0, L0 @ L0.T)
+    m1, L1 = natgrad_update(m0, L0, gm, gS, lr=1.0)
+    S_opt = np.linalg.inv(np.eye(n) * (1 + 1 / s2))
+    m_opt = S_opt @ np.asarray(y) / s2
+    np.testing.assert_allclose(np.asarray(m1), m_opt, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(L1 @ L1.T), S_opt, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Pallas ops (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 2), (100, 60, 3), (7, 200, 1)])
+def test_pallas_gram_matches_jnp(shape, key):
+    N, M, D = shape
+    k1, k2 = jax.random.split(key)
+    X = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    Z = jax.random.normal(k2, (M, D), dtype=jnp.float32)
+    kern = agp.SqExponentialKernel()
+    K_pallas = pallas_stationary_gram(X, Z, kern.k_of_r2)
+    with config_context(gram_mode="broadcast"):
+        K_ref = kern.gram(X, Z)
+    np.testing.assert_allclose(K_pallas, K_ref, atol=1e-5)
+
+
+def test_pallas_mode_through_kernel_api(key):
+    k1, k2 = jax.random.split(key)
+    X = jax.random.normal(k1, (32, 2), dtype=jnp.float32)
+    kern = agp.Matern32Kernel()
+    with config_context(gram_mode="pallas"):
+        K_p = kern.gram(X)
+    with config_context(gram_mode="broadcast"):
+        K_b = kern.gram(X)
+    np.testing.assert_allclose(K_p, K_b, atol=1e-5)

@@ -1,0 +1,144 @@
+"""Vecchia / nearest-neighbor tests mirroring the reference's
+``test/NearestNeighborsModule.jl`` plus band-representation unit tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import approximategps_tpu as agp
+from approximategps_tpu.models.vecchia import (
+    approx_root_prec_band,
+    band_U_matvec,
+    band_Ut_matmul,
+)
+
+
+def _setup():
+    x = jnp.array([1.0, 2.0, 3.5, 4.2, 5.9, 8.0])
+    kern = agp.SqExponentialKernel()
+    fx = agp.GP(kern)(x, 0.0)
+    x2 = jnp.arange(1.0, 8.01, 0.1)
+    y = jnp.sin(x)
+    return x, kern, fx, x2, y
+
+
+def _band_to_dense(Uband):
+    N, kp1 = Uband.shape
+    k = kp1 - 1
+    U = np.zeros((N, N))
+    for i in range(N):
+        for t in range(kp1):
+            j = i - k + t
+            if j >= 0:
+                U[j, i] = Uband[i, t]
+    return U
+
+
+def test_band_ops_match_dense(key):
+    x, kern, fx, x2, y = _setup()
+    k = 3
+    Uband = approx_root_prec_band(x, k, kern)
+    U = _band_to_dense(np.asarray(Uband))
+    # U is upper triangular with positive diagonal
+    assert np.allclose(U, np.triu(U))
+    assert (np.diag(U) > 0).all()
+    v = np.asarray(jax.random.normal(key, (len(x),)))
+    np.testing.assert_allclose(band_Ut_matmul(Uband, jnp.asarray(v)), U.T @ v, atol=1e-12)
+    np.testing.assert_allclose(band_U_matvec(Uband, jnp.asarray(v)), U @ v, atol=1e-12)
+    Xm = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (len(x), 4)))
+    np.testing.assert_allclose(
+        band_Ut_matmul(Uband, jnp.asarray(Xm)), U.T @ Xm, atol=1e-12
+    )
+
+
+def test_full_neighbors_equals_exact():
+    """Reference: 'Using all neighbors is the same as the exact GP' (atol 1e-4)."""
+    x, kern, fx, x2, y = _setup()
+    opt = agp.posterior(agp.NearestNeighbors(len(x) - 1), fx, y)
+    exact = agp.posterior(fx, y)
+    m1, c1 = opt.mean_and_cov(x2)
+    m2, c2 = exact.mean_and_cov(x2)
+    np.testing.assert_allclose(m1, m2, atol=1e-4)
+    np.testing.assert_allclose(c1, c2, atol=1e-4)
+    # precision root exactness: U Uᵀ == K⁻¹ when k = N-1
+    Uband = approx_root_prec_band(x, len(x) - 1, kern)
+    U = _band_to_dense(np.asarray(Uband))
+    K = np.asarray(fx.cov())
+    np.testing.assert_allclose(U @ U.T, np.linalg.inv(K), rtol=1e-6, atol=1e-8)
+
+
+def test_k3_approximates_exact():
+    """Reference: k=3 approximates exact predictions (atol 1e-1)."""
+    x, kern, fx, x2, y = _setup()
+    opt = agp.posterior(agp.NearestNeighbors(3), fx, y)
+    exact = agp.posterior(fx, y)
+    m1, c1 = opt.mean_and_cov(x2)
+    m2, c2 = exact.mean_and_cov(x2)
+    np.testing.assert_allclose(m1, m2, atol=1e-1)
+    np.testing.assert_allclose(c1, c2, atol=1e-1)
+
+
+def test_k3_approx_lml():
+    """Reference: k=3 approximates the exact logpdf (atol 1e-2); k=N-1 exact."""
+    x, kern, fx, x2, y = _setup()
+    l_approx = agp.approx_lml(agp.NearestNeighbors(3), fx, y)
+    l_exact = fx.logpdf(y)
+    np.testing.assert_allclose(float(l_approx), float(l_exact), atol=1e-2)
+    l_full = agp.approx_lml(agp.NearestNeighbors(len(x) - 1), fx, y)
+    np.testing.assert_allclose(float(l_full), float(l_exact), atol=1e-8)
+
+
+def test_gradients_nonzero():
+    """Reference: 'Zygote can take gradients of the logpdf'."""
+    x, kern, fx, x2, y = _setup()
+
+    def objective(lengthscale):
+        kern2 = agp.with_lengthscale(kern, lengthscale)
+        fx2 = agp.GP(kern2)(x, 0.0)
+        return agp.approx_lml(agp.NearestNeighbors(3), fx2, y)
+
+    lml, grad = jax.value_and_grad(objective)(1.0)
+    np.testing.assert_allclose(
+        float(agp.approx_lml(agp.NearestNeighbors(3), fx, y)), float(lml)
+    )
+    assert abs(float(grad)) > 0
+
+    # gradient matches finite differences
+    h = 1e-5
+    fd = (objective(1.0 + h) - objective(1.0 - h)) / (2 * h)
+    np.testing.assert_allclose(float(grad), float(fd), rtol=1e-6)
+
+
+def test_blocked_construction_matches(key):
+    x = jnp.sort(jax.random.uniform(key, (23,)) * 10)
+    kern = agp.Matern32Kernel()
+    U1 = approx_root_prec_band(x, 4, kern)
+    U2 = approx_root_prec_band(x, 4, kern, block_size=5)
+    np.testing.assert_allclose(U1, U2, atol=1e-12)
+
+
+def test_2d_inputs(key):
+    X = jax.random.normal(key, (12, 2))
+    kern = agp.SqExponentialKernel()
+    fx = agp.GP(kern)(X, 0.0)
+    y = jnp.sin(X[:, 0]) + jnp.cos(X[:, 1])
+    post = agp.posterior(agp.NearestNeighbors(11), fx, y)
+    exact = agp.posterior(fx, y)
+    Xs = jax.random.normal(jax.random.PRNGKey(9), (5, 2))
+    np.testing.assert_allclose(post.mean(Xs), exact.mean(Xs), atol=1e-6)
+    np.testing.assert_allclose(post.cov(Xs), exact.cov(Xs), atol=1e-6)
+
+
+def test_large_n_jit_scaling():
+    """Sanity: jit-compiled banded construction at N=2000, k=16 (chunked)."""
+    x = jnp.linspace(0, 100, 2000)
+    kern = agp.Matern32Kernel()
+
+    @jax.jit
+    def lml(ls):
+        fx = agp.GP(agp.with_lengthscale(kern, ls))(x, 0.0)
+        y = jnp.sin(x)
+        return agp.approx_lml(agp.NearestNeighbors(16, block_size=500), fx, y)
+
+    v = lml(2.0)
+    assert np.isfinite(float(v))
