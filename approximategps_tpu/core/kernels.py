@@ -87,8 +87,11 @@ def pairwise_sq_dist(X: jax.Array, Z: jax.Array, mode: str | None = None) -> jax
     if mode == "broadcast":
         diff = X[:, None, :] - Z[None, :, :]
         return jnp.sum(diff * diff, axis=-1)
-    # MXU path: |x|^2 + |z|^2 - 2 x.z
-    prec = config.matmul_precision
+    # MXU path: |x|^2 + |z|^2 - 2 x.z.  Always full f32 precision: the
+    # distance matmul is O(N·M·D) — negligible next to the O(M²·N)
+    # projection matmuls — and bf16 distance errors (~1e-2) destroy the
+    # PSD-ness of jittered Gram matrices downstream.
+    prec = "highest"
     xz = jnp.matmul(X, Z.T, precision=prec)
     x2 = jnp.sum(X * X, axis=-1)
     z2 = jnp.sum(Z * Z, axis=-1)
@@ -138,14 +141,28 @@ class StationaryKernel(Kernel):
     def k_of_r2(self, r2: jax.Array) -> jax.Array:
         """Elementwise kernel map on squared distances."""
 
+    def _static_k_of_r2(self):
+        """The elementwise map as a static (parameter-free) function, or None.
+
+        Parameter-free stationary kernels expose ``k_of_r2`` as a
+        staticmethod so the Pallas path keeps a warm jit cache; kernels whose
+        map closes over traced parameters fall back to the MXU jnp path."""
+        raw = type(self).__dict__.get("k_of_r2")
+        if isinstance(raw, staticmethod):
+            return raw.__func__
+        return None
+
     def gram(self, X: jax.Array, Z: jax.Array | None = None) -> jax.Array:
         X = as_points(X)
         Z = X if Z is None else as_points(Z)
         mode = _resolve_gram_mode(X.shape[0], Z.shape[0], X.shape[1])
         if mode == "pallas":
-            from ..ops.gram import pallas_stationary_gram
+            static_fn = self._static_k_of_r2()
+            if static_fn is not None:
+                from ..ops.gram import pallas_stationary_gram
 
-            return pallas_stationary_gram(X, Z, self.k_of_r2)
+                return pallas_stationary_gram(X, Z, static_fn)
+            mode = "mxu"
         r2 = pairwise_sq_dist(X, Z, mode)
         return self.k_of_r2(r2)
 
@@ -165,7 +182,8 @@ def _safe_r(r2: jax.Array) -> jax.Array:
 class SqExponentialKernel(StationaryKernel):
     """k(x,z) = exp(-||x-z||^2 / 2) — KernelFunctions.SqExponentialKernel."""
 
-    def k_of_r2(self, r2):
+    @staticmethod
+    def k_of_r2(r2):
         return jnp.exp(-0.5 * r2)
 
 
@@ -177,7 +195,8 @@ RBFKernel = SqExponentialKernel
 class Matern12Kernel(StationaryKernel):
     """k(x,z) = exp(-||x-z||) (exponential / Ornstein-Uhlenbeck)."""
 
-    def k_of_r2(self, r2):
+    @staticmethod
+    def k_of_r2(r2):
         return jnp.exp(-_safe_r(r2))
 
 
@@ -188,7 +207,8 @@ ExponentialKernel = Matern12Kernel
 class Matern32Kernel(StationaryKernel):
     """k(x,z) = (1 + √3 r) exp(-√3 r) — KernelFunctions.Matern32Kernel."""
 
-    def k_of_r2(self, r2):
+    @staticmethod
+    def k_of_r2(r2):
         sqrt3 = jnp.asarray(3.0, dtype=r2.dtype) ** 0.5
         t = sqrt3 * _safe_r(r2)
         return (1.0 + t) * jnp.exp(-t)
@@ -198,7 +218,8 @@ class Matern32Kernel(StationaryKernel):
 class Matern52Kernel(StationaryKernel):
     """k(x,z) = (1 + √5 r + 5r²/3) exp(-√5 r) — KernelFunctions.Matern52Kernel."""
 
-    def k_of_r2(self, r2):
+    @staticmethod
+    def k_of_r2(r2):
         sqrt5 = jnp.asarray(5.0, dtype=r2.dtype) ** 0.5
         t = sqrt5 * _safe_r(r2)
         return (1.0 + t + (5.0 / 3.0) * r2) * jnp.exp(-t)

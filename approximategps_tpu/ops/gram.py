@@ -6,6 +6,15 @@ corrections) and the elementwise kernel map ``g`` is fused in-register — no
 HBM round-trip for the r² intermediate.  This is the TPU replacement for
 KernelFunctions.jl's ``kernelmatrix`` (SURVEY.md §2.2, row 1).
 
+Differentiable: a custom VJP supplies the exact pullbacks
+``X̄ = 2(rowsum(W)∘X − W Z)``, ``Z̄ = 2(colsum(W)∘Z − Wᵀ X)`` with
+``W = ḡ ∘ g'(r²)`` — three more MXU matmuls, no pallas needed on the
+backward path.
+
+``g`` must be a *static, parameter-free* function (the stationary kernel
+classes expose their maps as staticmethods) so the jit cache stays warm
+across reconstructions of kernel pytrees.
+
 Falls back to interpret mode off-TPU so CPU tests exercise the same code.
 """
 
@@ -30,25 +39,16 @@ def _round_up(x: int, m: int) -> int:
 def _gram_kernel(x_ref, z_ref, o_ref, *, k_of_r2: Callable):
     x = x_ref[:]  # (TM, D)
     z = z_ref[:]  # (TN, D)
-    xz = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+    xz = jnp.dot(
+        x, z.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
     x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     z2 = jnp.sum(z.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     r2 = jnp.maximum(x2 + z2.T - 2.0 * xz, 0.0)
     o_ref[:] = k_of_r2(r2).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("k_of_r2", "tile_m", "tile_n"))
-def pallas_stationary_gram(
-    X: jax.Array,
-    Z: jax.Array,
-    k_of_r2: Callable,
-    tile_m: int = 256,
-    tile_n: int = 256,
-) -> jax.Array:
-    """K = g(pairwise_sq_dist(X, Z)) with the distance + map fused on-chip.
-
-    X: (N, D), Z: (M, D).  Output (N, M) in X's dtype (accumulation f32).
-    """
+def _forward(X, Z, k_of_r2, tile_m, tile_n):
     N, D = X.shape
     M = Z.shape[0]
     out_dtype = X.dtype
@@ -77,3 +77,45 @@ def pallas_stationary_gram(
         interpret=interpret,
     )(Xp, Zp)
     return out[:N, :M]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def pallas_stationary_gram(
+    X: jax.Array,
+    Z: jax.Array,
+    k_of_r2: Callable,
+    tile_m: int = 256,
+    tile_n: int = 256,
+) -> jax.Array:
+    """K = g(pairwise_sq_dist(X, Z)) with distance + map fused on-chip.
+
+    X: (N, D), Z: (M, D); output (N, M) in X's dtype (accumulation f32).
+    ``k_of_r2`` must be hashable and parameter-free (staticmethod)."""
+    return _forward(X, Z, k_of_r2, tile_m, tile_n)
+
+
+def _fwd(X, Z, k_of_r2, tile_m, tile_n):
+    return _forward(X, Z, k_of_r2, tile_m, tile_n), (X, Z)
+
+
+def _bwd(k_of_r2, tile_m, tile_n, residuals, gbar):
+    X, Z = residuals
+    prec = config.matmul_precision
+    # recompute r² with the MXU identity (cheap relative to the matmuls
+    # below; full precision — see pairwise_sq_dist)
+    xz = jnp.matmul(X, Z.T, precision="highest")
+    r2 = jnp.maximum(
+        jnp.sum(X * X, -1)[:, None] + jnp.sum(Z * Z, -1)[None, :] - 2.0 * xz, 0.0
+    )
+    _, pullback = jax.vjp(k_of_r2, r2)
+    (W,) = pullback(gbar)  # W = ḡ ∘ g'(r²)
+    Xbar = 2.0 * (
+        jnp.sum(W, axis=1)[:, None] * X - jnp.matmul(W, Z, precision=prec)
+    )
+    Zbar = 2.0 * (
+        jnp.sum(W, axis=0)[:, None] * Z - jnp.matmul(W.T, X, precision=prec)
+    )
+    return Xbar, Zbar
+
+
+pallas_stationary_gram.defvjp(_fwd, _bwd)

@@ -7,57 +7,48 @@ Prints ONE JSON line:
   {"metric": ..., "value": ms_per_step, "unit": "ms", "vs_baseline": 50/ms}
 (vs_baseline > 1 means faster than the 50 ms/step target from BASELINE.md.)
 
-Run `python bench.py --full` for the secondary metrics (streaming full-batch
-ELBO over all N=1e6 points, Vecchia banded construction at N=1e6).
+Timing methodology: the step is iterated inside a `lax.scan` with a real
+parameter data-dependency (an optax Adam chain), the result is reduced to a
+scalar on device and fetched to host; per-step time is the difference
+between an n=1+k and an n=1 run divided by k.  This is robust to async
+dispatch (plain `block_until_ready` does not synchronise through remote
+TPU tunnels) and excludes compile time and output-transfer time.
+
+Run `python bench.py --full` for secondary metrics (streaming full-batch
+ELBO over all N=1e6 points, Vecchia banded construction at N=1e6,
+Laplace Newton+lml at N=5k) on stderr.
 """
 
 import argparse
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _now():
-    return time.perf_counter()
+def chained_step_ms(make_run, iters=50):
+    """make_run(n) -> jitted fn returning a scalar after n chained steps."""
+    run1 = make_run(1)
+    runk = make_run(1 + iters)
+    float(run1())  # compile + warm
+    float(runk())
+    t0 = time.perf_counter()
+    t1_val = float(run1())
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tk_val = float(runk())
+    tk = time.perf_counter() - t0
+    assert np.isfinite(t1_val) and np.isfinite(tk_val)
+    return max(tk - t1, 1e-9) / iters * 1e3
 
 
-def _timeit(fn, *args, warmup=3, iters=10):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = _now()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (_now() - t0) / iters
-
-
-def headline(M=2048, batch=8192, D=8, num_data=1_000_000):
+def _svgp_loss_fn(num_data):
     import approximategps_tpu as agp
-    from approximategps_tpu.config import set_config
     from approximategps_tpu.utils.bijectors import softplus
-
-    # TPU perf policy: MXU gram path, bf16-accumulate-f32 matmuls,
-    # matmul-only triangular application.
-    set_config(gram_mode="mxu", matmul_precision="default", solve_mode="inv_matmul")
-
-    dtype = jnp.float32
-    key = jax.random.PRNGKey(0)
-    kx, kz, ky = jax.random.split(key, 3)
-    x = jax.random.normal(kx, (batch, D), dtype=dtype)
-    y = jnp.sin(x[:, 0]) + 0.1 * jax.random.normal(ky, (batch,), dtype=dtype)
-    z = jax.random.normal(kz, (M, D), dtype=dtype)
-
-    params = {
-        "k": jnp.array([0.5, 0.5], dtype=dtype),
-        "z": z,
-        "m": jnp.zeros(M, dtype=dtype),
-        "A": jnp.eye(M, dtype=dtype),
-    }
 
     def loss(params, xb, yb):
         kernel = softplus(params["k"][0]) * agp.with_lengthscale(
@@ -70,12 +61,57 @@ def headline(M=2048, batch=8192, D=8, num_data=1_000_000):
         sva = agp.SparseVariationalApproximation(fz, q)  # NonCentered
         return -agp.elbo(sva, fx, yb, num_data=num_data)
 
-    step = jax.jit(jax.value_and_grad(loss))
-    sec = _timeit(lambda p: step(p, x, y)[0], params)
-    return sec * 1e3
+    return loss
 
 
-def full_streaming(M=2048, N=1_000_000, D=8, block=16384):
+def _svgp_params(M, D, key, dtype=jnp.float32):
+    kz = jax.random.fold_in(key, 1)
+    return {
+        "k": jnp.array([0.5, 0.5], dtype=dtype),
+        "z": jax.random.normal(kz, (M, D), dtype=dtype),
+        "m": jnp.zeros(M, dtype=dtype),
+        "A": jnp.eye(M, dtype=dtype),
+    }
+
+
+def headline(M=2048, batch=8192, D=8, num_data=1_000_000, iters=30):
+    import optax
+
+    from approximategps_tpu.config import set_config
+
+    # TPU perf policy: MXU gram path, bf16-accumulate-f32 matmuls,
+    # matmul-only triangular application.
+    set_config(gram_mode="mxu", matmul_precision="default", solve_mode="inv_matmul")
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (batch, D), dtype=dtype)
+    y = jnp.sin(x[:, 0]) + 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (batch,), dtype=dtype)
+
+    loss = _svgp_loss_fn(num_data)
+    params = _svgp_params(M, D, key, dtype)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def make_run(n):
+        @jax.jit
+        def run():
+            def body(carry, _):
+                p, s = carry
+                val, grads = jax.value_and_grad(loss)(p, x, y)
+                updates, s = opt.update(grads, s, p)
+                p = optax.apply_updates(p, updates)
+                return (p, s), val
+
+            (p, _), vals = jax.lax.scan(body, (params, opt_state), None, length=n)
+            return vals[-1] + jnp.sum(p["m"]) * 0.0
+
+        return run
+
+    return chained_step_ms(make_run, iters=iters)
+
+
+def full_streaming(M=2048, N=1_000_000, D=8, block=16384, iters=3):
     import approximategps_tpu as agp
     from approximategps_tpu.config import set_config
     from approximategps_tpu.models.svgp_streaming import streaming_elbo
@@ -84,10 +120,9 @@ def full_streaming(M=2048, N=1_000_000, D=8, block=16384):
     set_config(gram_mode="mxu", matmul_precision="default", solve_mode="inv_matmul")
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
-    kx, kz = jax.random.split(key)
-    x = jax.random.normal(kx, (N, D), dtype=dtype)
+    x = jax.random.normal(key, (N, D), dtype=dtype)
     y = jnp.sin(x[:, 0])
-    z = jax.random.normal(kz, (M, D), dtype=dtype)
+    params = _svgp_params(M, D, key, dtype)
 
     def loss(params):
         kernel = softplus(params["k"][0]) * agp.with_lengthscale(
@@ -100,27 +135,77 @@ def full_streaming(M=2048, N=1_000_000, D=8, block=16384):
         lik = agp.GaussianLikelihood(jnp.asarray(0.1, dtype))
         return -streaming_elbo(sva, lik, x, y, block_size=block)
 
-    params = {
-        "k": jnp.array([0.5, 0.5], dtype=dtype),
-        "z": z,
-        "m": jnp.zeros(M, dtype=dtype),
-        "A": jnp.eye(M, dtype=dtype),
-    }
-    step = jax.jit(jax.value_and_grad(loss))
-    sec = _timeit(lambda p: step(p)[0], params, warmup=1, iters=3)
-    return sec * 1e3
+    def make_run(n):
+        @jax.jit
+        def run():
+            def body(p, _):
+                val, grads = jax.value_and_grad(loss)(p)
+                p = jax.tree_util.tree_map(lambda a, g: a - 1e-9 * g, p, grads)
+                return p, val
+
+            p, vals = jax.lax.scan(body, params, None, length=n)
+            return vals[-1] + jnp.sum(p["m"]) * 0.0
+
+        return run
+
+    return chained_step_ms(make_run, iters=iters)
 
 
-def vecchia_build(N=1_000_000, k=32, block=8192):
+def vecchia_build(N=1_000_000, k=32, block=8192, iters=3):
     import approximategps_tpu as agp
     from approximategps_tpu.models.vecchia import approx_root_prec_band
 
     dtype = jnp.float32
-    x = jnp.linspace(0.0, 1000.0, N, dtype=dtype)
+    x0 = jnp.linspace(0.0, 1000.0, N, dtype=dtype)
     kern = agp.Matern32Kernel()
-    fn = jax.jit(lambda xs: approx_root_prec_band(xs, k, kern, block_size=block))
-    sec = _timeit(fn, x, warmup=1, iters=3)
-    return sec * 1e3
+
+    def make_run(n):
+        @jax.jit
+        def run():
+            def body(x, _):
+                Uband = approx_root_prec_band(x, k, kern, block_size=block)
+                return x + 0.0 * Uband[0, 0], jnp.sum(Uband[:, -1])
+
+            x, vals = jax.lax.scan(body, x0, None, length=n)
+            return vals[-1]
+
+        return run
+
+    return chained_step_ms(make_run, iters=iters)
+
+
+def laplace_n5k(N=5000, iters=3):
+    import approximategps_tpu as agp
+    from approximategps_tpu.models import laplace as L
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    x = jnp.sort(jax.random.uniform(key, (N,), dtype=dtype)) * 10
+    y = (jax.random.uniform(jax.random.fold_in(key, 1), (N,)) > 0.5).astype(jnp.int32)
+    lik = agp.BernoulliLikelihood()
+
+    def neg_lml(theta):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.SqExponentialKernel(), jax.nn.softplus(theta[1])
+        )
+        K = agp.GP(kern)(x, 1e-6).cov()
+        return -L.laplace_lml(lik, y, K, maxiter=20)
+
+    theta0 = jnp.array([1.0, 1.0], dtype=dtype)
+
+    def make_run(n):
+        @jax.jit
+        def run():
+            def body(t, _):
+                v, g = jax.value_and_grad(neg_lml)(t)
+                return t - 1e-6 * g, v
+
+            t, vals = jax.lax.scan(body, theta0, None, length=n)
+            return vals[-1]
+
+        return run
+
+    return chained_step_ms(make_run, iters=iters)
 
 
 def main():
@@ -140,28 +225,16 @@ def main():
     print(json.dumps(result))
 
     if args.full:
-        fs = full_streaming(M=args.M)
-        print(
-            json.dumps(
-                {
-                    "metric": "svgp_streaming_fullbatch_elbo_grad_ms(N=1e6,M=2048)",
-                    "value": round(fs, 1),
-                    "unit": "ms",
-                },
-            ),
-            file=sys.stderr,
-        )
-        vb = vecchia_build()
-        print(
-            json.dumps(
-                {
-                    "metric": "vecchia_band_build_ms(N=1e6,k=32)",
-                    "value": round(vb, 1),
-                    "unit": "ms",
-                },
-            ),
-            file=sys.stderr,
-        )
+        for name, fn in [
+            ("svgp_streaming_fullbatch_elbo_grad_ms(N=1e6,M=2048)", full_streaming),
+            ("vecchia_band_build_ms(N=1e6,k=32)", vecchia_build),
+            ("laplace_newton_lml_grad_ms(N=5000)", laplace_n5k),
+        ]:
+            try:
+                v = fn()
+                print(json.dumps({"metric": name, "value": round(v, 1), "unit": "ms"}), file=sys.stderr)
+            except Exception as e:  # keep the headline robust
+                print(json.dumps({"metric": name, "error": str(e)[:200]}), file=sys.stderr)
 
 
 if __name__ == "__main__":

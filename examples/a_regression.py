@@ -7,6 +7,11 @@ distribution), re-expressed as one jitted optax training step scanned over
 minibatches.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

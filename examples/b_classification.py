@@ -7,6 +7,11 @@ latent GP, all parameters (kernel hyperparameters, inducing inputs,
 variational mean + Cholesky) optimised jointly with scipy L-BFGS over a
 jitted value-and-grad of the negative ELBO."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,14 +33,17 @@ def make_kernel(k_params):
 
 
 def main(N=100, M=15, seed=1234):
-    key = jax.random.PRNGKey(seed)
-    kx, kf = jax.random.split(key)
-    x = jnp.sort(jax.random.uniform(kx, (N,)) * 10)
-
-    # generative model: sample latent GP, push through logistic, sample labels
-    k_true = jnp.array([invsoftplus(1.0), invsoftplus(0.3)])
-    lf_true = agp.LatentGP(agp.GP(make_kernel(k_true)), agp.BernoulliLikelihood(), 1e-8)
-    f_true, y = lf_true(x).sample(kf)
+    # generative model sampled host-side in float64: latent GP through
+    # logistic, then Bernoulli labels
+    rng = np.random.default_rng(seed)
+    x_np = np.sort(rng.uniform(0, 10, N))
+    var_true, ls_true = 2.0, 1.0
+    K = var_true * np.exp(-0.5 * ((x_np[:, None] - x_np[None, :]) / ls_true) ** 2)
+    f_np = np.linalg.cholesky(K + 1e-10 * np.eye(N)) @ rng.standard_normal(N)
+    y_np = rng.binomial(1, 1.0 / (1.0 + np.exp(-f_np)))
+    x = jnp.asarray(x_np, jnp.float32)
+    y = jnp.asarray(y_np, jnp.float32)
+    assert 10 < int(y.sum()) < N - 10, "labels should be reasonably balanced"
 
     M_z = jnp.linspace(x.min(), x.max(), M)
     init = {
@@ -67,7 +75,7 @@ def main(N=100, M=15, seed=1234):
         return float(v), np.asarray(g, dtype=np.float64)
 
     res = scipy.optimize.minimize(
-        fun, np.asarray(flat0), jac=True, method="L-BFGS-B", options={"maxiter": 300}
+        fun, np.asarray(flat0), jac=True, method="L-BFGS-B", options={"maxiter": 150}
     )
     print(f"optimised -elbo: {res.fun:.3f}  ({res.nit} L-BFGS iterations)")
 

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""TPU f32 integration check: every approximation family end-to-end on the
+real chip, asserting finiteness and self-consistency (the accuracy oracles
+live in tests/ on CPU f64; this validates the f32 production path)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import approximategps_tpu as agp
+from approximategps_tpu.models import laplace as L
+from approximategps_tpu.models.svgp_streaming import streaming_elbo
+from approximategps_tpu.models.vfe import optimal_variational_posterior
+
+
+def check(name, cond):
+    status = "ok" if cond else "FAIL"
+    print(f"  [{status}] {name}")
+    assert cond, name
+
+
+def main():
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    key = jax.random.PRNGKey(0)
+    N, M = 256, 32
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(0, 10, N)), jnp.float32)
+    y = jnp.sin(x) + 0.1 * jax.random.normal(key, (N,), dtype=jnp.float32)
+
+    kernel = 1.5 * agp.with_lengthscale(agp.SqExponentialKernel(), 1.0)
+    f = agp.GP(kernel)
+    fx = f(x, 0.1)
+
+    print("exact GP:")
+    post = agp.posterior(fx, y)
+    mu, var = post.mean_and_var(x)
+    check("posterior finite", bool(jnp.isfinite(mu).all() and jnp.isfinite(var).all()))
+    check("var positive", bool((var > -1e-5).all()))
+    check("logpdf finite", bool(jnp.isfinite(fx.logpdf(y))))
+
+    print("SVGP:")
+    z = x[:: N // M][:M]
+    fz = f(z, 1e-5)
+    q_opt = optimal_variational_posterior(fz, fx, y)
+    sva = agp.SparseVariationalApproximation(fz, q_opt, agp.Centered())
+    e = agp.elbo(sva, fx, y)
+    lp = fx.logpdf(y)
+    check("elbo finite", bool(jnp.isfinite(e)))
+    check("elbo <= logpdf (+f32 slack)", float(e) <= float(lp) + 1e-2)
+    sp = agp.posterior(sva)
+    mu2, var2 = sp.mean_and_var(x)
+    check("svgp posterior close to exact (f32)", float(jnp.abs(mu2 - mu).max()) < 0.1)
+    # streaming == dense elbo
+    lik = agp.GaussianLikelihood(jnp.float32(0.1))
+    es = streaming_elbo(sva, lik, x, y, block_size=64)
+    check("streaming elbo == elbo (f32)", abs(float(es) - float(e)) < 1e-1)
+
+    # gradient step
+    def loss(m):
+        q = agp.MultivariateNormal(m, q_opt.scale_tril)
+        s = agp.SparseVariationalApproximation(fz, q, agp.Centered())
+        return -agp.elbo(s, fx, y)
+
+    g = jax.jit(jax.grad(loss))(q_opt.mean)
+    check("elbo grad finite", bool(jnp.isfinite(g).all()))
+
+    print("Laplace:")
+    yb = (y > 0).astype(jnp.int32)
+    lf = agp.LatentGP(f, agp.BernoulliLikelihood(), 1e-5)
+    lml = agp.approx_lml(agp.LaplaceApproximation(), lf(x), yb)
+    check("laplace lml finite", bool(jnp.isfinite(lml)))
+
+    def obj(theta):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.SqExponentialKernel(), jax.nn.softplus(theta[1])
+        )
+        lfb = agp.LatentGP(agp.GP(kern), agp.BernoulliLikelihood(), 1e-5)
+        return -agp.approx_lml(agp.LaplaceApproximation(), lfb(x), yb)
+
+    g2 = jax.jit(jax.grad(obj))(jnp.array([1.0, 1.0], jnp.float32))
+    check("laplace IFT grad finite", bool(jnp.isfinite(g2).all()))
+    lpost = agp.posterior(agp.LaplaceApproximation(), lf(x), yb)
+    mu3, var3 = lpost.mean_and_var(x)
+    check("laplace posterior finite", bool(jnp.isfinite(mu3).all() and jnp.isfinite(var3).all()))
+
+    print("Vecchia:")
+    nn = agp.NearestNeighbors(8, block_size=64)
+    fx0 = f(x, 1e-4)
+    vlml = agp.approx_lml(nn, fx0, y)
+    check("vecchia lml finite", bool(jnp.isfinite(vlml)))
+    vpost = agp.posterior(nn, fx0, y)
+    mu4, var4 = vpost.mean_and_var(x[:50])
+    check("vecchia posterior finite", bool(jnp.isfinite(mu4).all()))
+    check("vecchia mean close to exact", float(jnp.abs(mu4 - post.mean(x[:50])).max()) < 0.2)
+
+    print("Pallas gram:")
+    from approximategps_tpu.config import config_context
+
+    X2 = jax.random.normal(key, (300, 4), dtype=jnp.float32)
+    with config_context(gram_mode="pallas"):
+        Kp = agp.Matern52Kernel().gram(X2)
+    with config_context(gram_mode="broadcast"):
+        Kb = agp.Matern52Kernel().gram(X2)
+    check("pallas gram matches (f32)", float(jnp.abs(Kp - Kb).max()) < 1e-4)
+
+    print("ALL TPU CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

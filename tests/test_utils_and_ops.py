@@ -120,3 +120,33 @@ def test_pallas_mode_through_kernel_api(key):
     with config_context(gram_mode="broadcast"):
         K_b = kern.gram(X)
     np.testing.assert_allclose(K_p, K_b, atol=1e-5)
+
+
+def test_pallas_gram_gradients_match_broadcast(key):
+    k1, k2 = jax.random.split(key)
+    X = jax.random.normal(k1, (12, 2))
+    Z = jax.random.normal(k2, (9, 2))
+    kern = agp.Matern32Kernel()
+
+    def make(mode):
+        def f(X, Z):
+            with config_context(gram_mode=mode):
+                return jnp.sum(jnp.sin(kern.gram(X, Z)))
+
+        return f
+
+    gp = jax.grad(make("pallas"), argnums=(0, 1))(X, Z)
+    gr = jax.grad(make("broadcast"), argnums=(0, 1))(X, Z)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_pallas_falls_back_for_parameterized_kernels(key):
+    # RationalQuadratic closes over alpha → must silently use the MXU path
+    X = jax.random.normal(key, (8, 2))
+    kern = agp.RationalQuadraticKernel(alpha=1.3)
+    with config_context(gram_mode="pallas"):
+        K_p = kern.gram(X)
+    with config_context(gram_mode="broadcast"):
+        K_b = kern.gram(X)
+    np.testing.assert_allclose(K_p, K_b, atol=1e-8)
