@@ -28,24 +28,22 @@ from ..core.gp import LatentFiniteGP
 from ..core.quadrature import DefaultExpectationMethod, expected_loglikelihood
 from .svgp import Centered, SparseVariationalApproximation, prior_kl
 
-__all__ = ["streaming_elbo"]
+__all__ = ["streaming_elbo", "streaming_data_term", "dp_streaming_elbo"]
 
 
-def streaming_elbo(
+def streaming_data_term(
     sva: SparseVariationalApproximation,
     lik,
     x: jax.Array,
     y: jax.Array,
     block_size: int = 8192,
-    num_data: int | None = None,
     quadrature=None,
     remat: bool = True,
 ) -> jax.Array:
-    """ELBO over the full dataset, accumulated in blocks of ``block_size``.
+    """Σᵢ E_{q(fᵢ)}[log p(yᵢ|fᵢ)] accumulated in blocks of ``block_size``.
 
-    Mathematically identical to ``elbo(sva, lfx, y, num_data=...)`` — verified
-    against it in tests — but with O(M·block) peak memory instead of O(M·N).
-    N must be a multiple of block_size (pad + mask upstream otherwise).
+    The data term alone (no num_data scale, no KL) so it can be psum-reduced
+    across a device mesh by :func:`dp_streaming_elbo`.
     """
     if quadrature is None:
         quadrature = DefaultExpectationMethod()
@@ -90,7 +88,72 @@ def streaming_elbo(
         xi, yi = xy
         return acc + block_ell(xi, yi), None
 
-    total_ell, _ = jax.lax.scan(scan_body, jnp.zeros((), dtype=m.dtype), (xb, yb))
+    # initial carry derived from the data so its shard_map varying-axis type
+    # matches the block outputs (a plain zero is 'unvarying' and rejected)
+    acc0 = jnp.zeros((), dtype=m.dtype) + jnp.asarray(xb.ravel()[0] * 0, dtype=m.dtype)
+    total_ell, _ = jax.lax.scan(scan_body, acc0, (xb, yb))
+    return total_ell
+
+
+def streaming_elbo(
+    sva: SparseVariationalApproximation,
+    lik,
+    x: jax.Array,
+    y: jax.Array,
+    block_size: int = 8192,
+    num_data: int | None = None,
+    quadrature=None,
+    remat: bool = True,
+) -> jax.Array:
+    """ELBO over the full dataset, accumulated in blocks of ``block_size``.
+
+    Mathematically identical to ``elbo(sva, lfx, y, num_data=...)`` — verified
+    against it in tests — but with O(M·block) peak memory instead of O(M·N).
+    N must be a multiple of block_size (pad + mask upstream otherwise).
+    """
+    total_ell = streaming_data_term(
+        sva, lik, x, y, block_size=block_size, quadrature=quadrature, remat=remat
+    )
+    n = y.shape[0]
+    scale = 1.0 if num_data is None else num_data / n
+    return total_ell * scale - prior_kl(sva)
+
+
+def dp_streaming_elbo(
+    sva: SparseVariationalApproximation,
+    lik,
+    x: jax.Array,
+    y: jax.Array,
+    mesh,
+    axis_name: str = "data",
+    block_size: int = 8192,
+    num_data: int | None = None,
+    quadrature=None,
+    remat: bool = True,
+) -> jax.Array:
+    """Data-parallel full-dataset ELBO over a device mesh (the v5e-16 stretch
+    config of BASELINE.md): each chip scans its local shard of (x, y), the
+    per-point expectations are ``psum``-reduced over ICI, and the (replicated)
+    KL is subtracted once.  Differentiable; gradients of the replicated
+    parameters are automatically psum-reduced by shard_map's transpose."""
+    from jax.sharding import PartitionSpec as P
+
+    n = y.shape[0]
+
+    def local(sva_, lik_, x_loc, y_loc):
+        ell = streaming_data_term(
+            sva_, lik_, x_loc, y_loc,
+            block_size=min(block_size, y_loc.shape[0]),
+            quadrature=quadrature, remat=remat,
+        )
+        return jax.lax.psum(ell, axis_name)
+
+    total_ell = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name)),
+        out_specs=P(),
+    )(sva, lik, x, y)
 
     scale = 1.0 if num_data is None else num_data / n
     return total_ell * scale - prior_kl(sva)

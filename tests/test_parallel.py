@@ -128,3 +128,32 @@ def test_vecchia_construction_shards_over_points():
     )
     U_dp = fn(x)
     np.testing.assert_allclose(U_dp, U_ref, atol=1e-12)
+
+
+def test_dp_streaming_elbo_matches_dense():
+    """shard_map streaming ELBO (v5e-16 stretch path) == dense single-device
+    elbo, values and gradients."""
+    from approximategps_tpu.models.svgp_streaming import dp_streaming_elbo
+
+    mesh = data_mesh()
+    params = _params()
+    x, y = _data(N=64)
+    N = len(y)
+    lik = agp.GaussianLikelihood(0.1)
+
+    def dense(params):
+        sva, _ = _model(params, x)
+        fx = sva.fz.f(x, 0.1)
+        return agp.elbo(sva, fx, y, num_data=N)
+
+    def dp(params):
+        sva, _ = _model(params, x)
+        return dp_streaming_elbo(
+            sva, lik, x, y, mesh, block_size=4, num_data=N
+        )
+
+    v1, g1 = jax.value_and_grad(dense)(params)
+    v2, g2 = jax.jit(jax.value_and_grad(dp))(params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-9)
+    for k in g1:
+        np.testing.assert_allclose(g2[k], g1[k], rtol=1e-7, atol=1e-10)
