@@ -432,6 +432,7 @@ class LaplaceObjective:
         newton_maxiter=100,
         newton_tol=None,
         use_jit=True,
+        f_init=None,
     ):
         self.build_latent_gp = build_latent_gp
         self.xs = xs
@@ -440,7 +441,9 @@ class LaplaceObjective:
         self.newton_callback = newton_callback
         self.newton_maxiter = newton_maxiter
         self.newton_tol = newton_tol
-        self.cache = _ObjectiveCache()
+        # f_init seeds the warm-start cache — the analogue of the reference's
+        # in-place `build_laplace_objective!(f_init, ...)` (`:85-89`).
+        self.cache = _ObjectiveCache(f=None if f_init is None else jnp.asarray(f_init))
         self.newton_steps = 0
 
         def _core(args, f_init):

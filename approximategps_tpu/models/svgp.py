@@ -79,6 +79,14 @@ class SparseVariationalApproximation:
 
 def SVGP(fz: FiniteGP, q: MultivariateNormal) -> SparseVariationalApproximation:
     """Deprecated alias (reference ``src/deprecations.jl:1``): Centered SVGP."""
+    import warnings
+
+    warnings.warn(
+        "SVGP(fz, q) is deprecated; use "
+        "SparseVariationalApproximation(fz, q, Centered())",
+        DeprecationWarning,
+        stacklevel=2,
+    )
     return SparseVariationalApproximation(fz, q, Centered())
 
 

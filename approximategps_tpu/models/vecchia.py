@@ -106,19 +106,38 @@ class BandInvRoot:
         return -2.0 * jnp.sum(jnp.log(self.Uband[:, -1]))
 
 
-def approx_root_prec_band(x: jax.Array, k: int, kern: Kernel, block_size=None):
+def _resolve_use_pallas(use_pallas):
+    # The fused Pallas batched-Cholesky kernel (ops/batched_chol.py) is
+    # correct (validated in interpret mode + custom VJP) but its fully
+    # unrolled k-step body compiles impractically slowly in Mosaic at k≈32,
+    # so the default production path is XLA's batched cholesky.  Opt in with
+    # use_pallas=True.
+    if use_pallas is not None:
+        return use_pallas
+    return False
+
+
+def approx_root_prec_band(
+    x: jax.Array, k: int, kern: Kernel, block_size=None, use_pallas=None
+):
     """Banded upper-triangular root of the approximate precision,
     U = (I−B)ᵀ F^{−1/2} (reference ``approx_root_prec`` ``:91-95``),
     returned as an (N, k+1) band: ``Uband[i, t] = U[i−k+t, i]``.
 
     One batched k×k Cholesky per point yields both the B-row and F-diag
-    (merging the duplicated solves at reference ``:28`` and ``:56``)."""
+    (merging the duplicated solves at reference ``:28`` and ``:56``).  On TPU
+    the factor+solve+assembly runs as the fused Pallas kernel
+    (:func:`~approximategps_tpu.ops.batched_chol.batched_chol_solve_band`);
+    set ``use_pallas=False`` to force the XLA batched path."""
     Xp = as_points(x)
     N = Xp.shape[0]
     dtype = Xp.dtype
     kern_diag = kern.diag(Xp)  # (N,)
+    use_pallas = _resolve_use_pallas(use_pallas)
 
-    def row(i):
+    def window(i):
+        """Masked neighbor Gram, cross-covariances and prior variance for
+        point i (neighbors = previous k in the ordering)."""
         t = jnp.arange(k)
         idx = i - k + t
         mask = idx >= 0
@@ -129,22 +148,32 @@ def approx_root_prec_band(x: jax.Array, k: int, kern: Kernel, block_size=None):
         pair_mask = mask[:, None] & mask[None, :]
         Kw = jnp.where(pair_mask, Kw, jnp.eye(k, dtype=dtype))
         kni = jnp.where(mask, kern.gram(Xw, xi)[:, 0], 0.0)
+        return Kw, kni, kern_diag[i]
+
+    def rows_jnp(Kw, kni, kdiag):
         L = jnp.linalg.cholesky(Kw)
-        b = linalg.cholesky_solve(L, kni)  # B row (reference make_row, :27-29)
-        Fi = kern_diag[i] - kni @ b  # conditional var (reference make_F, :46-61)
+        b = linalg.cholesky_solve(L, kni[..., None])[..., 0]
+        Fi = kdiag - jnp.einsum("bk,bk->b", kni, b)
         inv_sqrt_F = 1.0 / jnp.sqrt(Fi)
-        uband_i = jnp.concatenate([-b * inv_sqrt_F, inv_sqrt_F[None]])
-        return uband_i
+        return jnp.concatenate([-b * inv_sqrt_F[:, None], inv_sqrt_F[:, None]], axis=1)
+
+    def rows(idx_block):
+        Kw, kni, kdiag = jax.vmap(window)(idx_block)
+        if use_pallas:
+            from ..ops.batched_chol import batched_chol_solve_band
+
+            return batched_chol_solve_band(Kw, kni, kdiag)
+        return rows_jnp(Kw, kni, kdiag)
 
     indices = jnp.arange(N)
     if block_size is None or block_size >= N:
-        Uband = jax.vmap(row)(indices)
+        Uband = rows(indices)
     else:
         bs = block_size
         pad = (-N) % bs
         idx_pad = jnp.concatenate([indices, jnp.zeros(pad, dtype=indices.dtype)])
         blocks = idx_pad.reshape(-1, bs)
-        Uband = jax.lax.map(jax.vmap(row), blocks).reshape(-1, k + 1)[:N]
+        Uband = jax.lax.map(rows, blocks).reshape(-1, k + 1)[:N]
     return Uband
 
 

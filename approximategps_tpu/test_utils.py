@@ -26,6 +26,7 @@ __all__ = [
     "build_latent_gp",
     "check_internal_gp_interface",
     "test_approximation_predictions",
+    "test_approx_lml",
 ]
 
 # Fixed dataset (reference src/TestUtils.jl:13-28): X = range(0, 23.5, 48);
@@ -90,6 +91,45 @@ def check_internal_gp_interface(rng_key, f_post, a, b, atol=1e-9):
     np.testing.assert_allclose(vv, v, atol=1e-6)
     s = fx.sample(rng_key)
     assert s.shape == (N_a,)
+
+
+def test_approx_lml(approx, noise_scale=0.1, seed=123456, rtol=1e-4, atol=1e-5):
+    """Conjugate-case evidence check: ``approx_lml(approx, LatentGP(f,
+    GaussianLikelihood(σ²), 0)(x), y)`` approximately equals the exact log
+    marginal likelihood ``logpdf(f(x, σ²), y)``.
+
+    The reference declares this utility but leaves it unimplemented
+    (``src/TestUtils.jl:39-55``); implemented here.  Holds for approximations
+    that don't require variational optimisation (Laplace, NearestNeighbors
+    with k=N−1); SVGP needs an optimal q and is checked elsewhere."""
+    from .core.kernels import Matern32Kernel
+    from .models.api import approx_lml
+    from .models.vecchia import NearestNeighbors
+
+    key = jax.random.PRNGKey(seed)
+    N = 6
+    f = GP(Matern32Kernel())
+    x = jnp.linspace(-1.0, 1.0, N)
+    fx = f(x, noise_scale**2)
+    y = fx.sample(key)
+    exact = fx.logpdf(y)
+
+    if isinstance(approx, NearestNeighbors):
+        # NearestNeighbors operates on a plain FiniteGP and its precision
+        # root ignores observation noise (as in the reference, which tests it
+        # with fx = GP(kern)(x, 0.0)) — compare noise-free evidences.
+        fx0 = f(x, 0.0)
+        got = approx_lml(approx, fx0, y)
+        exact = fx0.logpdf(y)
+    else:
+        lik = FunctionLikelihood(
+            logpdf=lambda fv, yv: -0.5 * ((yv - fv) / noise_scale) ** 2
+            - jnp.log(noise_scale)
+            - 0.5 * jnp.log(2 * jnp.pi),
+        )
+        lfx = LatentGP(f, lik, 0.0)(x)
+        got = approx_lml(approx, lfx, y)
+    np.testing.assert_allclose(float(got), float(exact), rtol=rtol, atol=atol)
 
 
 def test_approximation_predictions(approx, noise_scale=0.1, seed=123456):

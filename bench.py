@@ -111,7 +111,7 @@ def headline(M=2048, batch=8192, D=8, num_data=1_000_000, iters=30):
     return chained_step_ms(make_run, iters=iters)
 
 
-def full_streaming(M=2048, N=1_000_000, D=8, block=16384, iters=3):
+def full_streaming(M=2048, N=1 << 20, D=8, block=16384, iters=3):
     import approximategps_tpu as agp
     from approximategps_tpu.config import set_config
     from approximategps_tpu.models.svgp_streaming import streaming_elbo
@@ -156,7 +156,10 @@ def vecchia_build(N=1_000_000, k=32, block=8192, iters=3):
     from approximategps_tpu.models.vecchia import approx_root_prec_band
 
     dtype = jnp.float32
-    x0 = jnp.linspace(0.0, 1000.0, N, dtype=dtype)
+    # unit spacing ≈ one lengthscale: keeps conditional variances F_i well
+    # away from the f32 cancellation floor (spacing ≪ lengthscale makes the
+    # Vecchia conditionals numerically singular in any precision)
+    x0 = jnp.linspace(0.0, float(N), N, dtype=dtype)
     kern = agp.Matern32Kernel()
 
     def make_run(n):
@@ -226,7 +229,7 @@ def main():
 
     if args.full:
         for name, fn in [
-            ("svgp_streaming_fullbatch_elbo_grad_ms(N=1e6,M=2048)", full_streaming),
+            ("svgp_streaming_fullbatch_elbo_grad_ms(N=2^20,M=2048)", full_streaming),
             ("vecchia_band_build_ms(N=1e6,k=32)", vecchia_build),
             ("laplace_newton_lml_grad_ms(N=5000)", laplace_n5k),
         ]:

@@ -205,3 +205,10 @@ def test_posterior_sampling_from_laplace(key):
     # cross-cov consistent with joint cov
     C = post.cov(xs)
     np.testing.assert_allclose(np.diag(np.asarray(C)), v, atol=1e-8)
+
+
+def test_approx_lml_conjugate_oracle():
+    """test_approx_lml utility (declared-but-unimplemented in the reference,
+    src/TestUtils.jl:39-55): Laplace evidence == exact logpdf for a Gaussian
+    likelihood."""
+    tu.test_approx_lml(agp.LaplaceApproximation())

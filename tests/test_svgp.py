@@ -282,3 +282,39 @@ def test_poisson_svgp_elbo(key):
         )
     )(jnp.zeros(M))
     assert np.all(np.isfinite(g)) and np.any(np.asarray(g) != 0)
+
+
+def test_streaming_elbo_matches_dense(elbo_setup):
+    """streaming (scan+remat) ELBO == dense elbo, values and gradients."""
+    from approximategps_tpu.models.svgp_streaming import streaming_elbo
+
+    x, y = elbo_setup
+    M = 5
+    lik = agp.GaussianLikelihood(0.1)
+
+    def build(params):
+        f = agp.GP(make_kernel(params["k"]))
+        fz = f(params["z"], 1e-6)
+        q = agp.MultivariateNormal(params["m"], jnp.tril(params["A"]))
+        return agp.SparseVariationalApproximation(fz, q), f
+
+    params = {
+        "k": jnp.array([0.2, 0.6]),
+        "z": x[:M].copy(),
+        "m": jnp.linspace(-0.5, 0.5, M),
+        "A": jnp.eye(M),
+    }
+
+    def dense(params):
+        sva, f = build(params)
+        return agp.elbo(sva, f(x, 0.1), y, num_data=40)
+
+    def stream(params):
+        sva, _ = build(params)
+        return streaming_elbo(sva, lik, x, y, block_size=5, num_data=40)
+
+    v1, g1 = jax.value_and_grad(dense)(params)
+    v2, g2 = jax.value_and_grad(stream)(params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-9)
+    for k in g1:
+        np.testing.assert_allclose(g2[k], g1[k], rtol=1e-6, atol=1e-10)

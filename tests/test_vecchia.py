@@ -142,3 +142,33 @@ def test_large_n_jit_scaling():
 
     v = lml(2.0)
     assert np.isfinite(float(v))
+
+
+def test_pallas_batched_chol_path_matches(key):
+    """The fused Pallas batched-Cholesky path equals the XLA path, values
+    and lengthscale gradients."""
+    x = jnp.sort(jax.random.uniform(key, (23,)) * 10)
+    kern = agp.Matern32Kernel()
+
+    def build(use_pallas):
+        def lml(ls):
+            k2 = agp.with_lengthscale(kern, ls)
+            fx = agp.GP(k2)(x, 0.0)
+            from approximategps_tpu.models.vecchia import approx_root_prec_band
+
+            Uband = approx_root_prec_band(x, 4, k2, use_pallas=use_pallas)
+            return jnp.sum(jnp.log(Uband[:, -1]))
+
+        return lml
+
+    v1, g1 = jax.value_and_grad(build(False))(1.3)
+    v2, g2 = jax.value_and_grad(build(True))(1.3)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    np.testing.assert_allclose(float(g2), float(g1), rtol=1e-4)
+
+
+def test_approx_lml_conjugate_oracle():
+    """test_approx_lml utility: k=N-1 Vecchia evidence == exact logpdf."""
+    from approximategps_tpu import test_utils as tu
+
+    tu.test_approx_lml(agp.NearestNeighbors(5))
