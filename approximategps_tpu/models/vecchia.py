@@ -150,20 +150,17 @@ def approx_root_prec_band(
         kni = jnp.where(mask, kern.gram(Xw, xi)[:, 0], 0.0)
         return Kw, kni, kern_diag[i]
 
-    def rows_jnp(Kw, kni, kdiag):
-        L = jnp.linalg.cholesky(Kw)
-        b = linalg.cholesky_solve(L, kni[..., None])[..., 0]
-        Fi = kdiag - jnp.einsum("bk,bk->b", kni, b)
-        inv_sqrt_F = 1.0 / jnp.sqrt(Fi)
-        return jnp.concatenate([-b * inv_sqrt_F[:, None], inv_sqrt_F[:, None]], axis=1)
-
     def rows(idx_block):
         Kw, kni, kdiag = jax.vmap(window)(idx_block)
         if use_pallas:
             from ..ops.batched_chol import batched_chol_solve_band
 
             return batched_chol_solve_band(Kw, kni, kdiag)
-        return rows_jnp(Kw, kni, kdiag)
+        # unrolled masked-column batched solve: orders of magnitude faster on
+        # TPU than XLA's dynamic-slice cholesky expander for small k
+        from ..ops.batched_chol import batched_chol_solve_band_unrolled
+
+        return batched_chol_solve_band_unrolled(Kw, kni, kdiag)
 
     indices = jnp.arange(N)
     if block_size is None or block_size >= N:
