@@ -205,15 +205,16 @@ batched_chol_solve_band.defvjp(_band_fwd, _band_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=())
 def batched_chol_solve_band_unrolled(Kw, kni, kdiag):
     """Plain-XLA variant of :func:`batched_chol_solve_band` — same
-    masked-column math vectorized over the batch, no dynamic slices (the
-    column iteration runs as lax.fori_loop so the graph stays small).  On TPU
-    this outperforms XLA's batched `cholesky`+`triangular_solve` expansion by
-    orders of magnitude for small k, without Pallas compile cost."""
-    return masked_chol_solve_band_math(Kw, kni, kdiag, unroll=False)
+    masked-column math vectorized over the batch, fully unrolled over the k
+    columns (measured on v5e at N=131k/k=32: 143 ms vs 791 ms for the
+    fori_loop variant vs 4.0 s/1e6 for XLA's dynamic-slice cholesky
+    expansion).  XLA fuses the unrolled column steps into large fused VPU
+    kernels; compile time stays modest (~15 s cold)."""
+    return masked_chol_solve_band_math(Kw, kni, kdiag, unroll=True)
 
 
 def _unrolled_fwd(Kw, kni, kdiag):
-    return masked_chol_solve_band_math(Kw, kni, kdiag, unroll=False), (Kw, kni, kdiag)
+    return masked_chol_solve_band_math(Kw, kni, kdiag, unroll=True), (Kw, kni, kdiag)
 
 
 def _unrolled_bwd(residuals, gbar):
