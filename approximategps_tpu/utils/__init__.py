@@ -1,4 +1,4 @@
-from . import bijectors, checkpoint, profiling, training
+from . import bijectors, checkpoint, data, profiling, training
 from .bijectors import (
     cholesky_parameter,
     fill_triangular,
@@ -10,3 +10,4 @@ from .bijectors import (
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from .training import SVGPParams, adam_fit, build_svgp, init_svgp_params, natgrad_update
 from .profiling import StepTimer, named_scope, time_fn, trace
+from .data import epoch_batches, minibatch_iterator

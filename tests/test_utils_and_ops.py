@@ -150,3 +150,22 @@ def test_pallas_falls_back_for_parameterized_kernels(key):
     with config_context(gram_mode="broadcast"):
         K_b = kern.gram(X)
     np.testing.assert_allclose(K_p, K_b, atol=1e-8)
+
+
+def test_minibatch_iterator(key):
+    from approximategps_tpu.utils.data import epoch_batches, minibatch_iterator
+
+    x = jnp.arange(20.0)
+    y = 2 * x
+    batches = list(minibatch_iterator(key, (x, y), batch_size=5, epochs=2))
+    assert len(batches) == 8
+    for xb, yb in batches:
+        assert xb.shape == (5,)
+        np.testing.assert_allclose(yb, 2 * xb)
+    # each epoch covers all points exactly once
+    first_epoch = np.sort(np.concatenate([np.asarray(b[0]) for b in batches[:4]]))
+    np.testing.assert_allclose(first_epoch, np.asarray(x))
+
+    eb = epoch_batches(key, 20, 6)
+    assert eb.shape == (3, 6)
+    assert len(set(np.asarray(eb).ravel())) == 18
