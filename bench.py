@@ -177,6 +177,56 @@ def vecchia_build(N=1_000_000, k=32, block=8192, iters=3):
     return chained_step_ms(make_run, iters=iters)
 
 
+def poisson_svgp(M=1024, batch=8192, num_data=100_000, iters=10):
+    """BASELINE.json config #3: non-conjugate SVGP, Poisson likelihood,
+    analytic expected-LL (exp link), minibatch Adam step."""
+    import optax
+
+    import approximategps_tpu as agp
+    from approximategps_tpu.config import set_config
+    from approximategps_tpu.utils.bijectors import softplus
+
+    set_config(gram_mode="mxu", matmul_precision="default", solve_mode="inv_matmul")
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    x = jnp.sort(jax.random.uniform(key, (batch,), dtype=dtype)) * 100
+    y = jax.random.poisson(jax.random.fold_in(key, 1), jnp.exp(jnp.sin(x))).astype(
+        jnp.int32
+    )
+    params = _svgp_params(M, 1, key, dtype)
+
+    def loss(params, xb, yb):
+        kernel = softplus(params["k"][0]) * agp.with_lengthscale(
+            agp.SqExponentialKernel(), softplus(params["k"][1])
+        )
+        f = agp.GP(kernel)
+        lf = agp.LatentGP(f, agp.PoissonLikelihood(), 1e-6)
+        fz = f(params["z"], 1e-6)
+        q = agp.MultivariateNormal(params["m"], jnp.tril(params["A"]))
+        sva = agp.SparseVariationalApproximation(fz, q)
+        return -agp.elbo(sva, lf(xb), yb, num_data=num_data)
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def make_run(n):
+        @jax.jit
+        def run():
+            def body(carry, _):
+                p, s = carry
+                val, grads = jax.value_and_grad(loss)(p, x, y)
+                updates, s = opt.update(grads, s, p)
+                p = optax.apply_updates(p, updates)
+                return (p, s), val
+
+            (p, _), vals = jax.lax.scan(body, (params, opt_state), None, length=n)
+            return vals[-1] + jnp.sum(p["m"]) * 0.0
+
+        return run
+
+    return chained_step_ms(make_run, iters=iters)
+
+
 def laplace_n5k(N=5000, iters=3):
     import approximategps_tpu as agp
     from approximategps_tpu.models import laplace as L
@@ -232,6 +282,7 @@ def main():
             ("svgp_streaming_fullbatch_elbo_grad_ms(N=2^20,M=2048)", full_streaming),
             ("vecchia_band_build_ms(N=1e6,k=32)", vecchia_build),
             ("laplace_newton_lml_grad_ms(N=5000)", laplace_n5k),
+            ("poisson_svgp_elbo_grad_step_ms(N=1e5,M=1024,B=8192)", poisson_svgp),
         ]:
             try:
                 v = fn()

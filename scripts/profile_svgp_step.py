@@ -45,7 +45,7 @@ def timed(name, step_fn, carry0, iters=30):
     t0 = time.perf_counter(); float(run(carry0, 1)); t1 = time.perf_counter() - t0
     t0 = time.perf_counter(); float(run(carry0, 1 + iters)); tk = time.perf_counter() - t0
     ms = max(tk - t1, 0) / iters * 1e3
-    print(f"{name:45s} {ms:8.3f} ms")
+    print(f"{name:45s} {ms:8.3f} ms", flush=True)
     return ms
 
 
@@ -62,7 +62,6 @@ def step_kuu(kp):
     L = jnp.linalg.cholesky(Kuu)
     return kp + jnp.sum(L) * 1e-30
 
-timed("Kuu gram + chol", step_kuu, kp0)
 
 # 2. + Lk_inv
 def step_inv(kp):
@@ -83,7 +82,6 @@ def step_kuf(kp):
     Kuf = kern.gram(z, x)
     return kp + (jnp.sum(Linv) + jnp.sum(Kuf)) * 1e-30
 
-timed("  + Kuf gram (M x B)", step_kuf, kp0)
 
 # 4. + projections and diag corrections (forward data term)
 def step_fwd(kp):
