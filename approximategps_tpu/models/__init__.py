@@ -1,4 +1,5 @@
-from . import api, laplace, sampling, svgp, svgp_streaming, vecchia, vfe
+from . import api, iterative, laplace, sampling, svgp, svgp_streaming, vecchia, vfe
+from .iterative import cg_solve, logpdf_slq, posterior_cg
 from .sampling import rff_features, sample_svgp_functions
 from .svgp_streaming import dp_streaming_elbo, streaming_elbo
 from .api import approx_lml, posterior
