@@ -28,6 +28,7 @@ __all__ = [
     "Xt_invA_X",
     "diag_Xt_invA_X",
     "symmetrize",
+    "blocked_tril_inv",
 ]
 
 
@@ -110,3 +111,35 @@ def diag_Xt_invA_X(L: jax.Array, X: jax.Array) -> jax.Array:
     """diag(X^T A^{-1} X) given A's lower Cholesky factor L."""
     V = solve_lower_triangular(L, X)
     return diag_At_A(V)
+
+
+def blocked_tril_inv(L: jax.Array, base: int = 128) -> jax.Array:
+    """Inverse of a lower-triangular matrix by recursive 2×2 blocking:
+
+        [[A, 0], [B, C]]⁻¹ = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]]
+
+    All the O(n³) work lands in matmuls (MXU-friendly, fast to
+    differentiate); only ``base``-sized diagonal blocks use the LAPACK-style
+    triangular solve.  On TPU this substantially outperforms a full-size
+    ``triangular_solve`` against the identity, which is latency-bound.
+    """
+    n = L.shape[-1]
+    if n <= base:
+        return lax.linalg.triangular_solve(
+            L, jnp.eye(n, dtype=L.dtype), left_side=True, lower=True
+        )
+    half = n // 2
+    # round the split to a multiple of the base tile when possible
+    if half % base:
+        half = max(base, (half // base) * base)
+    A = L[..., :half, :half]
+    B = L[..., half:, :half]
+    C = L[..., half:, half:]
+    Ai = blocked_tril_inv(A, base)
+    Ci = blocked_tril_inv(C, base)
+    # full precision: inverse accuracy feeds every downstream projection
+    BAi = jnp.matmul(B, Ai, precision="highest")
+    lower_left = -jnp.matmul(Ci, BAi, precision="highest")
+    top = jnp.concatenate([Ai, jnp.zeros_like(L[..., :half, half:])], axis=-1)
+    bottom = jnp.concatenate([lower_left, Ci], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)

@@ -174,8 +174,7 @@ def inducing_points(f_post: SVGPPosterior) -> jax.Array:
 
 def _maybe_inv(L: jax.Array) -> jax.Array | None:
     if config.solve_mode == "inv_matmul":
-        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
-        return linalg.solve_lower_triangular(L, eye)
+        return linalg.blocked_tril_inv(L)
     return None
 
 

@@ -51,8 +51,7 @@ def streaming_data_term(
     prior = fz.f
     m = sva.q.mean
     Kuu_L = fz.scale_tril()
-    eye = jnp.eye(Kuu_L.shape[-1], dtype=Kuu_L.dtype)
-    Lk_inv = linalg.solve_lower_triangular(Kuu_L, eye)
+    Lk_inv = linalg.blocked_tril_inv(Kuu_L)
     if isinstance(sva.parametrization, Centered):
         B = Lk_inv @ sva.q.scale_tril
         alpha = linalg.cholesky_solve(Kuu_L, m - fz.mean())
