@@ -13,6 +13,7 @@ from .laplace import (
     laplace_lml,
     laplace_steps,
     newton_inner_loop,
+    newton_inner_loop_jvp,
 )
 from .svgp import (
     SVGP,

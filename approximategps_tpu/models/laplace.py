@@ -40,6 +40,7 @@ __all__ = [
     "LaplaceApproximation",
     "LaplacePosterior",
     "newton_inner_loop",
+    "newton_inner_loop_jvp",
     "laplace_lml",
     "laplace_f_and_lml",
     "laplace_f_cov",
@@ -240,6 +241,25 @@ def newton_inner_loop(
         lik_def, int(maxiter), float(tol), tuple(lik_leaves), ys, K, f_init
     )
     return (f_opt, n_iter) if return_niter else f_opt
+
+
+def newton_inner_loop_jvp(lik, ys, K, dK, **newton_kwargs):
+    """Forward-mode (frule) counterpart of the IFT: returns (f_opt, ∂f_opt)
+    for a kernel-matrix tangent ``dK``.
+
+    Reference frule at ``src/LaplaceApproximationModule.jl:309-328``:
+        ∂f = (√W)⁻¹ B⁻¹ √W (ΔK ∇ll).
+    (JAX allows a single custom rule per function — ``newton_inner_loop``
+    carries the reverse-mode rule, so the forward-mode tangent is exposed
+    explicitly here.)"""
+    lik = as_likelihood(lik)
+    f_opt = newton_inner_loop(lik, ys, K, **newton_kwargs)
+    cache = _laplace_train_intermediates(lik, ys, K, f_opt)
+    df = (
+        linalg.cholesky_solve(cache.B_L, cache.Wsqrt * (dK @ cache.d_loglik))
+        / cache.Wsqrt
+    )
+    return f_opt, df
 
 
 # ---------------------------------------------------------------------------

@@ -212,3 +212,23 @@ def test_approx_lml_conjugate_oracle():
     src/TestUtils.jl:39-55): Laplace evidence == exact logpdf for a Gaussian
     likelihood."""
     tu.test_approx_lml(agp.LaplaceApproximation())
+
+
+def test_newton_forward_mode_jvp(key):
+    """frule parity (reference :309-328): the explicit forward-mode tangent
+    matches a finite-difference directional derivative of the fixed point."""
+    k1, k2 = jax.random.split(key)
+    n = 5
+    A = jax.random.normal(k1, (n, n))
+    K = A @ A.T + jnp.eye(n)
+    ys = jnp.array([1, 0, 1, 1, 0])
+    lik = tu.dist_y_given_f
+    dK = jax.random.normal(k2, (n, n))
+    dK = 0.5 * (dK + dK.T)
+
+    f0, df = L.newton_inner_loop_jvp(lik, ys, K, dK, tol=1e-13)
+    h = 1e-6
+    f_plus = L.newton_inner_loop(lik, ys, K + h * dK, tol=1e-13)
+    f_minus = L.newton_inner_loop(lik, ys, K - h * dK, tol=1e-13)
+    fd = (f_plus - f_minus) / (2 * h)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(fd), rtol=1e-5, atol=1e-9)

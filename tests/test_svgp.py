@@ -318,3 +318,36 @@ def test_streaming_elbo_matches_dense(elbo_setup):
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-9)
     for k in g1:
         np.testing.assert_allclose(g2[k], g1[k], rtol=1e-6, atol=1e-10)
+
+
+def test_natural_gradient_one_step_reaches_optimal_q(elbo_setup):
+    """Conjugate-case natural-gradient property: with a Gaussian likelihood
+    and full-batch ELBO, ONE natural-gradient step with lr=1 from any start
+    lands exactly on the optimal q(u) (the Titsias solution)."""
+    from approximategps_tpu.utils.training import natgrad_update
+
+    x, y = elbo_setup
+    lik_noise = 0.1
+    f = agp.GP(make_kernel([0.2, 0.6]))
+    fx = f(x, lik_noise)
+    z = x[:8]
+    fz = f(z, 1e-8)
+    M = 8
+
+    def elbo_mS(m, S):
+        S_L = jnp.linalg.cholesky(S)
+        q = agp.MultivariateNormal(m, S_L)
+        sva = agp.SparseVariationalApproximation(fz, q, agp.Centered())
+        return agp.elbo(sva, fx, y)
+
+    m0 = jnp.zeros(M)
+    S0 = jnp.eye(M)
+    gm = jax.grad(elbo_mS, argnums=0)(m0, S0)
+    gS = jax.grad(elbo_mS, argnums=1)(m0, S0)
+    m1, L1 = natgrad_update(m0, jnp.linalg.cholesky(S0), gm, gS, lr=1.0)
+
+    q_opt = optimal_variational_posterior(fz, fx, y)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(q_opt.mean), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(L1 @ L1.T), np.asarray(q_opt.cov()), atol=1e-6
+    )
