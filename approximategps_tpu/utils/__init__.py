@@ -8,6 +8,13 @@ from .bijectors import (
     softplus,
 )
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
-from .training import SVGPParams, adam_fit, build_svgp, init_svgp_params, natgrad_update
+from .training import (
+    SVGPParams,
+    adam_fit,
+    build_svgp,
+    init_svgp_params,
+    lbfgs_fit,
+    natgrad_update,
+)
 from .profiling import StepTimer, named_scope, time_fn, trace
 from .data import epoch_batches, minibatch_iterator

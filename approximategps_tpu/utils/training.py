@@ -25,6 +25,7 @@ __all__ = [
     "init_svgp_params",
     "build_svgp",
     "adam_fit",
+    "lbfgs_fit",
     "natgrad_update",
 ]
 
@@ -132,3 +133,53 @@ def natgrad_update(m, S_L, grad_m, grad_S, lr: float = 0.1):
     S_new = 0.5 * (S_new + S_new.T)
     m_new = S_new @ theta1
     return m_new, jnp.linalg.cholesky(S_new)
+
+
+def lbfgs_fit(
+    loss_fn: Callable,
+    params: Any,
+    max_iters: int = 200,
+    tol: float = 1e-8,
+    optimizer=None,
+):
+    """On-device L-BFGS minimisation of ``loss_fn(params)`` (the optax
+    equivalent of the reference's Optim.jl LBFGS usage,
+    ``examples/b-classification/script.jl:132-142``).
+
+    Runs the whole optimisation as one jitted ``lax.while_loop`` using
+    ``optax.value_and_grad_from_state`` (shares line-search evaluations).
+    Returns (params, final_loss, n_iters)."""
+    import jax.flatten_util
+
+    opt = optimizer if optimizer is not None else optax.lbfgs()
+    flat0, unravel = jax.flatten_util.ravel_pytree(params)
+
+    def flat_loss(flat):
+        return loss_fn(unravel(flat))
+
+    value_and_grad = optax.value_and_grad_from_state(flat_loss)
+
+    @jax.jit
+    def run(flat0):
+        opt_state = opt.init(flat0)
+
+        def cond(carry):
+            flat, opt_state, i, gnorm = carry
+            return jnp.logical_and(i < max_iters, gnorm > tol)
+
+        def body(carry):
+            flat, opt_state, i, _ = carry
+            value, grad = value_and_grad(flat, state=opt_state)
+            updates, opt_state = opt.update(
+                grad, opt_state, flat, value=value, grad=grad, value_fn=flat_loss
+            )
+            flat = optax.apply_updates(flat, updates)
+            return flat, opt_state, i + 1, jnp.linalg.norm(grad)
+
+        flat, opt_state, i, gnorm = jax.lax.while_loop(
+            cond, body, (flat0, opt_state, jnp.int32(0), jnp.asarray(jnp.inf, flat0.dtype))
+        )
+        return flat, flat_loss(flat), i
+
+    flat, final_loss, n = run(flat0)
+    return unravel(flat), final_loss, int(n)

@@ -169,3 +169,19 @@ def test_minibatch_iterator(key):
     eb = epoch_batches(key, 20, 6)
     assert eb.shape == (3, 6)
     assert len(set(np.asarray(eb).ravel())) == 18
+
+
+def test_lbfgs_fit_on_device(key):
+    """On-device optax LBFGS loop minimises a quadratic and an SVGP elbo."""
+    from approximategps_tpu.utils.training import lbfgs_fit
+
+    # quadratic sanity
+    A = jax.random.normal(key, (4, 4))
+    Q = A @ A.T + jnp.eye(4)
+    b = jax.random.normal(jax.random.PRNGKey(1), (4,))
+
+    params, loss, n = lbfgs_fit(
+        lambda p: 0.5 * p["x"] @ Q @ p["x"] - b @ p["x"], {"x": jnp.zeros(4)}
+    )
+    np.testing.assert_allclose(params["x"], np.linalg.solve(np.asarray(Q), b), atol=1e-6)
+    assert n < 100
