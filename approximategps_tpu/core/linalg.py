@@ -29,6 +29,7 @@ __all__ = [
     "diag_Xt_invA_X",
     "symmetrize",
     "blocked_tril_inv",
+    "blocked_cholesky",
 ]
 
 
@@ -142,4 +143,33 @@ def blocked_tril_inv(L: jax.Array, base: int = 128) -> jax.Array:
     lower_left = -jnp.matmul(Ci, BAi, precision="highest")
     top = jnp.concatenate([Ai, jnp.zeros_like(L[..., :half, half:])], axis=-1)
     bottom = jnp.concatenate([lower_left, Ci], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def blocked_cholesky(A: jax.Array, base: int = 256) -> jax.Array:
+    """Lower Cholesky factor by recursive 2×2 blocking (right-looking):
+
+        A = [[A11, ·], [A21, A22]] →
+        L11 = chol(A11);  L21 = A21 L11⁻ᵀ;  L22 = chol(A22 − L21 L21ᵀ)
+
+    The panel solve uses :func:`blocked_tril_inv` so all O(n³) work is MXU
+    matmuls; only ``base``-sized diagonal blocks call the XLA cholesky.
+    The SURVEY.md §7 "blocked MXU Cholesky" building block.
+    """
+    n = A.shape[-1]
+    if n <= base:
+        return jnp.linalg.cholesky(A)
+    half = n // 2
+    if half % base:
+        half = max(base, (half // base) * base)
+    A11 = A[..., :half, :half]
+    A21 = A[..., half:, :half]
+    A22 = A[..., half:, half:]
+    L11 = blocked_cholesky(A11, base)
+    L11_inv = blocked_tril_inv(L11, base)
+    L21 = jnp.matmul(A21, jnp.swapaxes(L11_inv, -1, -2), precision="highest")
+    S = A22 - jnp.matmul(L21, jnp.swapaxes(L21, -1, -2), precision="highest")
+    L22 = blocked_cholesky(S, base)
+    top = jnp.concatenate([L11, jnp.zeros_like(A[..., :half, half:])], axis=-1)
+    bottom = jnp.concatenate([L21, L22], axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)

@@ -153,3 +153,27 @@ def test_finite_gp_sample_statistics(key):
     emp_cov = np.cov(np.asarray(samples).T)
     np.testing.assert_allclose(emp_cov, fx.cov(), atol=0.05)
     np.testing.assert_allclose(samples.mean(axis=0), np.zeros(3), atol=0.05)
+
+
+def test_blocked_cholesky_and_inverse(key):
+    from approximategps_tpu.core.linalg import blocked_cholesky, blocked_tril_inv
+
+    for n in [96, 300, 640]:
+        A = jax.random.normal(jax.random.fold_in(key, n), (n, n))
+        K = A @ A.T + n * jnp.eye(n)
+        L = blocked_cholesky(K, base=64)
+        np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(K), rtol=1e-10)
+        assert np.allclose(np.asarray(L), np.tril(np.asarray(L)))
+        Li = blocked_tril_inv(L, base=64)
+        np.testing.assert_allclose(np.asarray(Li @ L), np.eye(n), atol=1e-10)
+    # gradients agree with jnp.linalg.cholesky (compared through a symmetric
+    # parameterization K = A Aᵀ — raw K-cotangent triangle conventions differ)
+    n = 96
+    A = jax.random.normal(key, (n, n))
+    g1 = jax.grad(
+        lambda A: jnp.sum(jnp.sin(blocked_cholesky(A @ A.T + n * jnp.eye(n), base=32)))
+    )(A)
+    g2 = jax.grad(
+        lambda A: jnp.sum(jnp.sin(jnp.linalg.cholesky(A @ A.T + n * jnp.eye(n))))
+    )(A)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
