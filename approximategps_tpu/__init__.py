@@ -68,11 +68,20 @@ from .core import (
     kl_divergence,
     logpdf,
     mvnormal_from_cov,
+    predict_in_blocks,
     with_lengthscale,
 )
 from .models import (
     SVGP,
     VFE,
+    cg_solve,
+    logpdf_slq,
+    posterior_cg,
+    rff_features,
+    sample_svgp_functions,
+    dp_streaming_elbo,
+    streaming_elbo,
+    newton_inner_loop_jvp,
     BandInvRoot,
     Centered,
     LaplaceApproximation,

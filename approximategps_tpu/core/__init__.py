@@ -10,6 +10,7 @@ from .gp import (
     PosteriorGP,
     logpdf,
     posterior,
+    predict_in_blocks,
 )
 from .kernels import (
     ConstantKernel,

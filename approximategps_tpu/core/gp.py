@@ -38,6 +38,7 @@ __all__ = [
     "CholeskyRep",
     "posterior",
     "logpdf",
+    "predict_in_blocks",
 ]
 
 
@@ -273,3 +274,21 @@ def posterior(fx: FiniteGP, y: jax.Array) -> PosteriorGP:
 def logpdf(fx: FiniteGP, y: jax.Array) -> jax.Array:
     """Exact log marginal likelihood — AbstractGPs.logpdf(fx, y)."""
     return fx.logpdf(y)
+
+
+def predict_in_blocks(post: AbstractGP, xs: jax.Array, block_size: int = 8192):
+    """(mean, var) of ``post`` at a large test set, computed in blocks with
+    ``lax.map`` — bounds peak memory at O(train_size · block_size) for the
+    cross-covariance, enabling million-point prediction sweeps on one chip."""
+    X = as_points(xs)
+    n = X.shape[0]
+    bs = min(block_size, n)
+    pad = (-n) % bs
+    Xp = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)]) if pad else X
+    blocks = Xp.reshape(-1, bs, X.shape[1])
+
+    def one(block):
+        return post.mean_and_var(block)
+
+    mu, var = jax.lax.map(one, blocks)
+    return mu.reshape(-1)[:n], var.reshape(-1)[:n]

@@ -177,3 +177,24 @@ def test_blocked_cholesky_and_inverse(key):
         lambda A: jnp.sum(jnp.sin(jnp.linalg.cholesky(A @ A.T + n * jnp.eye(n))))
     )(A)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
+
+
+def test_predict_in_blocks(key):
+    f = agp.GP(agp.Matern32Kernel())
+    x = jnp.linspace(0, 5, 20)
+    fx = f(x, 0.05)
+    y = fx.sample(key)
+    post = agp.posterior(fx, y)
+    xt = jnp.linspace(-1, 6, 57)  # non-multiple of block
+    mu_b, var_b = agp.predict_in_blocks(post, xt, block_size=10)
+    mu, var = post.mean_and_var(xt)
+    np.testing.assert_allclose(mu_b, mu, atol=1e-12)
+    np.testing.assert_allclose(var_b, var, atol=1e-12)
+    # SVGP posterior too
+    fz = f(x[:6], 1e-6)
+    q = agp.MultivariateNormal(jnp.zeros(6), jnp.eye(6))
+    sp = agp.posterior(agp.SparseVariationalApproximation(fz, q))
+    mu_b, var_b = agp.predict_in_blocks(sp, xt, block_size=8)
+    mu, var = sp.mean_and_var(xt)
+    np.testing.assert_allclose(mu_b, mu, atol=1e-12)
+    np.testing.assert_allclose(var_b, var, atol=1e-12)
