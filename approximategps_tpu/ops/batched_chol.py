@@ -108,6 +108,12 @@ def masked_chol_solve_band_math(A, c, kdiag, unroll: bool = True):
 
     # --- conditional variance + band row ---
     F = kdiag - jnp.sum(c * b, axis=1)  # (Bt,)
+    # relative floor: the exact F can sit below the cancellation noise of the
+    # working precision for densely-spaced points (F/kdiag < ~8·eps), which
+    # would turn rsqrt into NaN; the floor is ~1.8e-15·kdiag in f64 (inert
+    # for the oracle tests) and ~1e-6·kdiag in f32
+    eps = jnp.finfo(A.dtype).eps
+    F = jnp.maximum(F, 8.0 * eps * kdiag)
     inv_sqrt_F = jax.lax.rsqrt(F)
     row = -b * inv_sqrt_F[:, None]  # (Bt, k)
     return jnp.concatenate([row, inv_sqrt_F[:, None]], axis=1)  # (Bt, k+1)
@@ -187,6 +193,7 @@ def _band_bwd(block, residuals, gbar):
     L = jnp.linalg.cholesky(Kw)
     b = jax.scipy.linalg.cho_solve((L, True), kni[..., None])[..., 0]
     F = kdiag - jnp.einsum("bk,bk->b", kni, b)
+    F = jnp.maximum(F, 8.0 * jnp.finfo(Kw.dtype).eps * kdiag)
     u0 = jax.lax.rsqrt(F)
 
     u0_bar = gd - jnp.einsum("bk,bk->b", gr, b)
