@@ -73,7 +73,11 @@ def masked_chol_solve_band_math(A, c, kdiag, unroll: bool = True):
         s = jnp.sum(L * (lj * mask_t)[:, None, :], axis=2)  # (Bt, k_i)
         # d = A[j,j] − s[j], extracted with one-hot lane reductions
         Aj = jnp.sum(A * onehot(j)[:, :, None], axis=1)  # (Bt, k): A[:, j, :]
-        d = jnp.sum(Aj * onehot(j), axis=1) - jnp.sum(s * onehot(j), axis=1)
+        Ajj = jnp.sum(Aj * onehot(j), axis=1)
+        d = Ajj - jnp.sum(s * onehot(j), axis=1)
+        # pivot floor: near-singular neighbor Grams (densely-spaced points)
+        # cancel below working precision — clamp relative to the diagonal
+        d = jnp.maximum(d, 8.0 * jnp.finfo(A.dtype).eps * jnp.abs(Ajj))
         inv_ljj = jax.lax.rsqrt(d)
         Acol = jnp.sum(A * onehot(j)[:, None, :], axis=2)  # (Bt, k_i): A[:, :, j]
         col = (Acol - s) * inv_ljj[:, None]  # (Bt, k_i)
@@ -190,7 +194,13 @@ def _band_bwd(block, residuals, gbar):
     gr = gbar[:, :-1]  # (B, k)
     gd = gbar[:, -1]  # (B,)
 
-    L = jnp.linalg.cholesky(Kw)
+    # relative jitter mirrors the forward pivot floor (f32 robustness)
+    k = Kw.shape[-1]
+    diag_scale = jnp.einsum("bii->b", Kw) / k
+    L = jnp.linalg.cholesky(
+        Kw + (8.0 * jnp.finfo(Kw.dtype).eps * diag_scale)[:, None, None]
+        * jnp.eye(k, dtype=Kw.dtype)
+    )
     b = jax.scipy.linalg.cho_solve((L, True), kni[..., None])[..., 0]
     F = kdiag - jnp.einsum("bk,bk->b", kni, b)
     F = jnp.maximum(F, 8.0 * jnp.finfo(Kw.dtype).eps * kdiag)
