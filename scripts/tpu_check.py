@@ -113,7 +113,18 @@ def main():
     vpost = agp.posterior(nn, fx0, y)
     mu4, var4 = vpost.mean_and_var(x[:50])
     check("vecchia posterior finite", bool(jnp.isfinite(mu4).all()))
-    check("vecchia mean close to exact", float(jnp.abs(mu4 - post.mean(x[:50])).max()) < 0.2)
+    # accuracy sub-check on a well-conditioned geometry: spacing ≈ ℓ/2 so the
+    # noise-free exact posterior itself is f32-meaningful (the dense N=256
+    # grid above has cond(K) ≫ 1/eps(f32) — both sides would be noise)
+    f_w = agp.GP(agp.with_lengthscale(agp.Matern32Kernel(), 0.3))
+    x_w = x[::4]
+    y_w = jnp.sin(x_w)
+    v_w = agp.posterior(agp.NearestNeighbors(8), f_w(x_w, 0.0), y_w)
+    e_w = agp.posterior(f_w(x_w, 1e-5), y_w)
+    check(
+        "vecchia mean close to exact (well-conditioned)",
+        float(jnp.abs(v_w.mean(x_w) - e_w.mean(x_w)).max()) < 0.1,
+    )
 
     print("Pallas gram:")
     from approximategps_tpu.config import config_context
