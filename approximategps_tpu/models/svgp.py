@@ -190,15 +190,25 @@ def _posterior_svgp(
     q, fz = sva.q, sva.fz
     m = q.mean
     Kuu_L = fz.scale_tril()  # chol(Kuu + jitter I): M×M Gram + O(M³) chol
+    Lk_inv = _maybe_inv(Kuu_L)
     if isinstance(sva.parametrization, Centered):
         # B = Lk⁻¹ Lq ; α = Kuu⁻¹ (m − mean(fz))
-        B = linalg.solve_lower_triangular(Kuu_L, q.scale_tril)
-        alpha = linalg.cholesky_solve(Kuu_L, m - fz.mean())
+        if Lk_inv is not None:
+            # matmul-only path (single-RHS triangular solves are
+            # latency-bound on TPU; the inverse is already paid for)
+            B = jnp.matmul(Lk_inv, q.scale_tril, precision=config.matmul_precision)
+            alpha = Lk_inv.T @ (Lk_inv @ (m - fz.mean()))
+        else:
+            B = linalg.solve_lower_triangular(Kuu_L, q.scale_tril)
+            alpha = linalg.cholesky_solve(Kuu_L, m - fz.mean())
     else:
         # NonCentered: α = Lk⁻ᵀ m ; B = Lq
-        alpha = linalg.solve_upper_triangular(Kuu_L.T, m)
+        if Lk_inv is not None:
+            alpha = Lk_inv.T @ m
+        else:
+            alpha = linalg.solve_upper_triangular(Kuu_L.T, m)
         B = q.scale_tril
-    cache = _SVGPCache(Kuu_L=Kuu_L, B=B, alpha=alpha, Lk_inv=_maybe_inv(Kuu_L))
+    cache = _SVGPCache(Kuu_L=Kuu_L, B=B, alpha=alpha, Lk_inv=Lk_inv)
     return SVGPPosterior(approx=sva, cache=cache)
 
 

@@ -54,9 +54,9 @@ def streaming_data_term(
     Lk_inv = linalg.blocked_tril_inv(Kuu_L)
     if isinstance(sva.parametrization, Centered):
         B = Lk_inv @ sva.q.scale_tril
-        alpha = linalg.cholesky_solve(Kuu_L, m - fz.mean())
+        alpha = Lk_inv.T @ (Lk_inv @ (m - fz.mean()))
     else:
-        alpha = linalg.solve_upper_triangular(Kuu_L.T, m)
+        alpha = Lk_inv.T @ m
         B = sva.q.scale_tril
 
     n = y.shape[0]

@@ -351,3 +351,36 @@ def test_natural_gradient_one_step_reaches_optimal_q(elbo_setup):
     np.testing.assert_allclose(
         np.asarray(L1 @ L1.T), np.asarray(q_opt.cov()), atol=1e-6
     )
+
+
+def test_solve_modes_agree(elbo_setup):
+    """inv_matmul (blocked-inverse, matmul-only) == triangular solve paths:
+    posterior predictions and elbo values/gradients."""
+    from approximategps_tpu.config import config_context
+
+    x, y = elbo_setup
+    M = 6
+    f = agp.GP(make_kernel([0.2, 0.6]))
+    fx = f(x, 0.1)
+    fz = f(x[:M], 1e-6)
+    q = agp.MultivariateNormal(jnp.linspace(-0.2, 0.3, M), 0.7 * jnp.eye(M))
+
+    for par in [agp.Centered(), agp.NonCentered()]:
+        sva = agp.SparseVariationalApproximation(fz, q, par)
+
+        def run():
+            post = agp.posterior(sva)
+            mu, var = post.mean_and_var(x)
+            e = agp.elbo(sva, fx, y)
+            g = jax.grad(lambda m: agp.elbo(
+                agp.SparseVariationalApproximation(
+                    fz, agp.MultivariateNormal(m, q.scale_tril), par
+                ), fx, y))(q.mean)
+            return mu, var, e, g
+
+        with config_context(solve_mode="triangular"):
+            ref = run()
+        with config_context(solve_mode="inv_matmul"):
+            alt = run()
+        for a, b in zip(ref, alt):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
