@@ -90,8 +90,14 @@ def pairwise_sq_dist(X: jax.Array, Z: jax.Array, mode: str | None = None) -> jax
     # MXU path: |x|^2 + |z|^2 - 2 x.z.  Always full f32 precision: the
     # distance matmul is O(N·M·D) — negligible next to the O(M²·N)
     # projection matmuls — and bf16 distance errors (~1e-2) destroy the
-    # PSD-ness of jittered Gram matrices downstream.
+    # PSD-ness of jittered Gram matrices downstream.  The identity's error
+    # scales with eps·max|x|², so center the inputs first (distances are
+    # translation-invariant) — otherwise data on, say, [0, 100] loses ~1e-3
+    # absolute accuracy in f32 and Cholesky factorizations go NaN.
     prec = "highest"
+    center = 0.5 * (jnp.mean(X, axis=0) + jnp.mean(Z, axis=0))
+    X = X - center
+    Z = Z - center
     xz = jnp.matmul(X, Z.T, precision=prec)
     x2 = jnp.sum(X * X, axis=-1)
     z2 = jnp.sum(Z * Z, axis=-1)
@@ -154,8 +160,16 @@ class StationaryKernel(Kernel):
 
     def gram(self, X: jax.Array, Z: jax.Array | None = None) -> jax.Array:
         X = as_points(X)
-        Z = X if Z is None else as_points(Z)
+        symmetric = Z is None
+        Z = X if symmetric else as_points(Z)
         mode = _resolve_gram_mode(X.shape[0], Z.shape[0], X.shape[1])
+        if symmetric and mode in ("mxu", "pallas"):
+            # symmetric Grams feed Cholesky factorizations: the |x|²-identity
+            # loses eps·max|x−c|² absolute accuracy, which breaks PSD-ness
+            # whenever the data span ≫ jitter^{1/2}; always use the exact
+            # broadcast distances here (the O(M²·D) cost is negligible next
+            # to the O(M³)/O(M²·N) consumers).
+            mode = "broadcast"
         if mode == "pallas":
             static_fn = self._static_k_of_r2()
             if static_fn is not None:

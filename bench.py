@@ -194,6 +194,9 @@ def poisson_svgp(M=1024, batch=8192, num_data=100_000, iters=10):
         jnp.int32
     )
     params = _svgp_params(M, 1, key, dtype)
+    # 1-D inducing inputs must span the data (standard-normal draws at
+    # M=1024 in 1-D are near-duplicates → singular Kuu in f32)
+    params["z"] = jnp.linspace(0.0, 100.0, M, dtype=dtype)[:, None]
 
     def loss(params, xb, yb):
         kernel = softplus(params["k"][0]) * agp.with_lengthscale(
