@@ -48,10 +48,17 @@ def safe_cholesky(A: jax.Array, jitter: float | jax.Array | None = None) -> jax.
     Mirrors ``_chol_cov(fx) = cholesky(Symmetric(cov(fx)))`` in the reference
     (``src/utils.jl:17``); the jitter there lives in the FiniteGP noise, so
     callers here usually pass ``jitter=None`` and add noise beforehand.
+
+    Large factorizations route through :func:`blocked_cholesky`: its Schur
+    updates run at explicit full precision, whereas XLA's TPU cholesky
+    internals follow the *global* matmul-precision default (bf16 passes),
+    which loses PSD-ness for ill-conditioned f32 Grams.
     """
     A = symmetrize(A)
     if jitter is not None:
         A = add_jitter(A, jitter)
+    if A.ndim == 2 and A.shape[-1] > 256:
+        return blocked_cholesky(A, base=256)
     return jnp.linalg.cholesky(A)
 
 

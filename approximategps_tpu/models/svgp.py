@@ -130,30 +130,36 @@ class SVGPPosterior(AbstractGP):
         Kuf = self.prior.cov(self.inducing_points(), x)
         return self.prior.mean(x) + Kuf.T @ self.cache.alpha
 
+    def _BtA(self, A):
+        return jnp.matmul(self.cache.B.T, A, precision=config.matmul_precision)
+
     def cov(self, x, z=None):
-        B = self.cache.B
         Ax, _ = self._A_and_Kuf(x)
         if z is None:
             return (
                 self.prior.cov(x)
                 - linalg.At_A(Ax)
-                + linalg.At_A(B.T @ Ax)
+                + linalg.At_A(self._BtA(Ax))
             )
         Az, _ = self._A_and_Kuf(z)
-        return self.prior.cov(x, z) - Ax.T @ Az + (B.T @ Ax).T @ (B.T @ Az)
+        return (
+            self.prior.cov(x, z)
+            - Ax.T @ Az
+            + self._BtA(Ax).T @ self._BtA(Az)
+        )
 
     def var(self, x):
         A, _ = self._A_and_Kuf(x)
         return (
             self.prior.var(x)
             - linalg.diag_At_A(A)
-            + linalg.diag_At_A(self.cache.B.T @ A)
+            + linalg.diag_At_A(self._BtA(A))
         )
 
     def mean_and_cov(self, x):
         A, Kuf = self._A_and_Kuf(x)
         mu = self.prior.mean(x) + Kuf.T @ self.cache.alpha
-        S = self.prior.cov(x) - linalg.At_A(A) + linalg.At_A(self.cache.B.T @ A)
+        S = self.prior.cov(x) - linalg.At_A(A) + linalg.At_A(self._BtA(A))
         return mu, S
 
     def mean_and_var(self, x):
@@ -162,7 +168,7 @@ class SVGPPosterior(AbstractGP):
         v = (
             self.prior.var(x)
             - linalg.diag_At_A(A)
-            + linalg.diag_At_A(self.cache.B.T @ A)
+            + linalg.diag_At_A(self._BtA(A))
         )
         return mu, v
 
