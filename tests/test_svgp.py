@@ -384,3 +384,41 @@ def test_solve_modes_agree(elbo_setup):
             alt = run()
         for a, b in zip(ref, alt):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_nonzero_mean_svgp_matches_exact(key):
+    """Centered SVGP with optimal q and a non-zero prior mean (z == x) still
+    equals exact GP regression — exercises the mean(fz) terms in the cache."""
+    N = 12
+    f = agp.GP(agp.Matern52Kernel(), agp.ConstMean(1.5))
+    x = jnp.linspace(0, 3, N)
+    fx = f(x, 0.1)
+    y = fx.sample(key)
+    fz = f(x, 1e-10)
+
+    # optimal q for non-zero mean: shift y by the prior mean
+    s2 = 0.1
+    Kuf = f.cov(x, x)
+    Kuu = fz.cov()
+    Sigma = Kuu + (Kuf @ Kuf.T) / s2
+    delta = y - f.mean(x)
+    m_opt = f.mean(x) + Kuu @ jnp.linalg.solve(Sigma, Kuf @ delta) / s2
+    S_opt = Kuu @ jnp.linalg.solve(Sigma, Kuu)
+    q = agp.mvnormal_from_cov(m_opt, S_opt, jitter=1e-12)
+
+    sva = agp.SparseVariationalApproximation(fz, q, agp.Centered())
+    sp = agp.posterior(sva)
+    ep = agp.posterior(fx, y)
+    xt = jnp.linspace(-0.5, 3.5, 9)
+    np.testing.assert_allclose(sp.mean(xt), ep.mean(xt), atol=1e-6)
+    np.testing.assert_allclose(sp.cov(xt), ep.cov(xt), atol=1e-6)
+
+
+def test_laplace_rejects_nonzero_mean():
+    """Reference `_check_laplace_inputs` asserts a zero prior mean (:171)."""
+    f = agp.GP(agp.SqExponentialKernel(), agp.ConstMean(1.0))
+    lf = agp.LatentGP(f, agp.BernoulliLikelihood(), 1e-8)
+    x = jnp.linspace(0, 1, 4)
+    y = jnp.array([0, 1, 1, 0])
+    with pytest.raises(ValueError):
+        agp.approx_lml(agp.LaplaceApproximation(), lf(x), y)
