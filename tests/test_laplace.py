@@ -232,3 +232,39 @@ def test_newton_forward_mode_jvp(key):
     f_minus = L.newton_inner_loop(lik, ys, K - h * dK, tol=1e-13)
     fd = (f_plus - f_minus) / (2 * h)
     np.testing.assert_allclose(np.asarray(df), np.asarray(fd), rtol=1e-5, atol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "lik,ygen",
+    [
+        (agp.BernoulliLikelihood(link="probit"), lambda x: (jnp.sin(x) > 0).astype(jnp.int64)),
+        (agp.PoissonLikelihood(), lambda x: jnp.round(jnp.exp(jnp.sin(x))).astype(jnp.int64)),
+        (agp.ExponentialLikelihood(), lambda x: jnp.exp(0.3 * jnp.sin(x)) + 0.1),
+    ],
+    ids=["probit", "poisson", "exponential"],
+)
+def test_laplace_other_likelihoods(lik, ygen, key):
+    """Laplace end-to-end for every log-concave likelihood: finite lml,
+    finite FD-matching gradients, sane posterior."""
+    x = jnp.linspace(0, 6, 24)
+    y = ygen(x)
+
+    def objective(theta):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.SqExponentialKernel(), jax.nn.softplus(theta[1])
+        )
+        lf = agp.LatentGP(agp.GP(kern), lik, 1e-8)
+        return -agp.approx_lml(agp.LaplaceApproximation(tol=1e-12), lf(x), y)
+
+    theta0 = jnp.array([1.0, 1.0])
+    val = objective(theta0)
+    assert np.isfinite(float(val))
+    g = jax.grad(objective)(theta0)
+    for i in range(2):
+        fd = _fd5(jax.jit(objective), theta0, i)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=1e-5, atol=1e-10)
+
+    lf = agp.LatentGP(agp.GP(agp.SqExponentialKernel()), lik, 1e-8)
+    post = agp.posterior(agp.LaplaceApproximation(), lf(x), y)
+    mu, var = post.mean_and_var(x)
+    assert np.isfinite(np.asarray(mu)).all() and (np.asarray(var) > 0).all()
