@@ -265,14 +265,18 @@ class PeriodicKernel(StationaryKernel):
 
 @pytree_dataclass
 class WhiteKernel(Kernel):
-    """k(x,z) = δ(x == z) (by index on gram of a single input set)."""
+    """k(x,z) = δ(x == z) — elementwise point equality, matching
+    KernelFunctions' WhiteKernel delta semantics.  One-argument ``gram(X)``
+    is the identity (by index, like the reference); two-argument grams
+    compare point values so shared points between X and Z still hit."""
 
     def gram(self, X, Z=None):
         X = as_points(X)
         if Z is None:
             return jnp.eye(X.shape[0], dtype=X.dtype)
         Z = as_points(Z)
-        return jnp.zeros((X.shape[0], Z.shape[0]), dtype=X.dtype)
+        eq = jnp.all(X[:, None, :] == Z[None, :, :], axis=-1)
+        return eq.astype(X.dtype)
 
     def diag(self, X):
         X = as_points(X)

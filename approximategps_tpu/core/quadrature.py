@@ -36,6 +36,17 @@ def _hermgauss(n: int) -> tuple[np.ndarray, np.ndarray]:
     return xs, ws
 
 
+def _safe_sqrt(var: jax.Array) -> jax.Array:
+    """sqrt clamped at zero with a finite gradient everywhere.
+
+    Marginal variances come from a cancellation (prior − AᵀA + (BᵀA)ᵀ(BᵀA))
+    and can dip slightly negative in f32; a bare sqrt would NaN the ELBO and
+    its gradients (ADVICE r1).  The ``where``-both-sides pattern keeps the
+    gradient 0 (not inf) on the clamped branch."""
+    tiny = jnp.asarray(jnp.finfo(jnp.result_type(var)).tiny, var.dtype)
+    return jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, tiny)), 0.0)
+
+
 def gauss_hermite_points(n: int, mean: jax.Array, var: jax.Array):
     """Gauss–Hermite abscissae/weights for E_{N(mean, var)}[g(f)].
 
@@ -46,7 +57,7 @@ def gauss_hermite_points(n: int, mean: jax.Array, var: jax.Array):
     dtype = jnp.result_type(mean)
     xs = jnp.asarray(xs, dtype=dtype)
     ws = jnp.asarray(ws / math.sqrt(math.pi), dtype=dtype)
-    sigma = jnp.sqrt(var)
+    sigma = _safe_sqrt(var)
     f_nodes = mean[None, ...] + math.sqrt(2.0) * sigma[None, ...] * xs.reshape(
         (n,) + (1,) * mean.ndim
     )
@@ -73,11 +84,16 @@ class MonteCarlo:
     key: jax.Array = None
 
     def expected_loglik(self, lik, q_mean, q_var, y):
-        key = self.key if self.key is not None else jax.random.PRNGKey(0)
+        if self.key is None:
+            raise ValueError(
+                "MonteCarlo requires an explicit PRNG key: MonteCarlo(n, key=...)."
+                " A fixed default key would silently reuse identical samples"
+                " every step."
+            )
         eps = jax.random.normal(
-            key, (self.n_samples,) + q_mean.shape, dtype=q_mean.dtype
+            self.key, (self.n_samples,) + q_mean.shape, dtype=q_mean.dtype
         )
-        f_samples = q_mean[None, ...] + jnp.sqrt(q_var)[None, ...] * eps
+        f_samples = q_mean[None, ...] + _safe_sqrt(q_var)[None, ...] * eps
         lls = lik.log_prob(f_samples, y[None, ...])
         return jnp.mean(lls, axis=0)
 

@@ -20,6 +20,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import config
 from ..core import linalg
@@ -223,14 +224,29 @@ def _check_consistent_prior(sva, lfx):
     prior = fx.f
     if prior is sva.fz.f:
         return
-    # Under tracing we cannot compare parameter values; require at least
-    # structural equality of the two prior pytrees (reference `===` check,
-    # :347-351).
+    # Structural equality of the two prior pytrees is required always
+    # (reference `===` check, :347-351) ...
     if jax.tree_util.tree_structure(prior) != jax.tree_util.tree_structure(sva.fz.f):
         raise ValueError(
             "(Latent)FiniteGP prior is not consistent with "
             "SparseVariationalApproximation's"
         )
+    # ... and when the hyperparameter leaves are concrete (outside tracing)
+    # we additionally compare values, so two same-shaped priors with
+    # different hyperparameters are rejected like the reference's `===`.
+    leaves_a = jax.tree_util.tree_leaves(prior)
+    leaves_b = jax.tree_util.tree_leaves(sva.fz.f)
+    for a, b in zip(leaves_a, leaves_b):
+        if isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer):
+            return  # values unknowable under trace; structure already checked
+        # numpy comparison: inside a jit trace even concrete-array jnp ops
+        # get staged, so compare host-side
+        an, bn = np.asarray(a), np.asarray(b)
+        if an.shape != bn.shape or not bool(np.all(an == bn)):
+            raise ValueError(
+                "(Latent)FiniteGP prior is not consistent with "
+                "SparseVariationalApproximation's (hyperparameter values differ)"
+            )
 
 
 def prior_kl(sva: SparseVariationalApproximation) -> jax.Array:

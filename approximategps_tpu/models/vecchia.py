@@ -47,10 +47,13 @@ class NearestNeighbors:
     """k-nearest-neighbor (Vecchia) approximation (reference struct ``:73-75``).
 
     ``block_size`` chunks the batched small-Cholesky construction to bound
-    peak memory for very large N (the (N, k, k) neighbor-Gram tensor)."""
+    peak memory for very large N (the (N, k, k) neighbor-Gram tensor);
+    ``use_pallas`` opts the construction into the fused Pallas
+    batched-Cholesky kernel (default: XLA batched path)."""
 
     k: int = static_field()
     block_size: int | None = static_field(default=None)
+    use_pallas: bool | None = static_field(default=None)
 
 
 def band_Ut_matmul(Uband: jax.Array, X: jax.Array) -> jax.Array:
@@ -179,7 +182,9 @@ def _posterior_nn(nn: NearestNeighbors, fx: FiniteGP, y: jax.Array, **_):
     """Reference ``:97-106``: returns a PosteriorGP masquerading as exact,
     with data (α = U Uᵀ δ, C = InvRoot(U), x, δ)."""
     kern = fx.f.kernel
-    Uband = approx_root_prec_band(fx.x, nn.k, kern, nn.block_size)
+    Uband = approx_root_prec_band(
+        fx.x, nn.k, kern, nn.block_size, use_pallas=nn.use_pallas
+    )
     delta = y - fx.mean()
     alpha = band_U_matvec(Uband, band_Ut_matmul(Uband, delta))
     return PosteriorGP(

@@ -125,10 +125,14 @@ def masked_chol_solve_band_math(A, c, kdiag, unroll: bool = True):
 
 def _kernel(kw_ref, kni_ref, kdiag_ref, out_ref, *, k: int):
     # kw_ref: (Bt, k, k); kni_ref: (Bt, k); kdiag_ref: (Bt, 1); out: (Bt, k+1)
+    # compute in the input dtype, promoted to at least f32 (bf16 inputs
+    # accumulate in f32 on the VPU; f64 inputs — CPU interpret/oracle mode —
+    # keep full precision instead of silently dropping to f32)
+    cdt = jnp.promote_types(kw_ref.dtype, jnp.float32)
     out = masked_chol_solve_band_math(
-        kw_ref[:].astype(jnp.float32),
-        kni_ref[:].astype(jnp.float32),
-        kdiag_ref[:, 0].astype(jnp.float32),
+        kw_ref[:].astype(cdt),
+        kni_ref[:].astype(cdt),
+        kdiag_ref[:, 0].astype(cdt),
     )
     out_ref[:] = out.astype(out_ref.dtype)
 

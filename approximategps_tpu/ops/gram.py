@@ -53,6 +53,13 @@ def _forward(X, Z, k_of_r2, tile_m, tile_n):
     M = Z.shape[0]
     out_dtype = X.dtype
 
+    # Center inputs (exact for stationary kernels): uncentered f32 distances
+    # lose ~eps·max|x|² absolute accuracy for data on large ranges — same fix
+    # as pairwise_sq_dist's MXU path.
+    c = 0.5 * (jnp.mean(X, axis=0) + jnp.mean(Z, axis=0))
+    X = X - c
+    Z = Z - c
+
     tile_m = min(tile_m, _round_up(N, 8))
     tile_n = min(tile_n, _round_up(M, 128))
     Np = _round_up(N, tile_m)
@@ -102,10 +109,12 @@ def _bwd(k_of_r2, tile_m, tile_n, residuals, gbar):
     X, Z = residuals
     prec = config.matmul_precision
     # recompute r² with the MXU identity (cheap relative to the matmuls
-    # below; full precision — see pairwise_sq_dist)
-    xz = jnp.matmul(X, Z.T, precision="highest")
+    # below; full precision + centering — see pairwise_sq_dist)
+    c = 0.5 * (jnp.mean(X, axis=0) + jnp.mean(Z, axis=0))
+    Xc, Zc = X - c, Z - c
+    xz = jnp.matmul(Xc, Zc.T, precision="highest")
     r2 = jnp.maximum(
-        jnp.sum(X * X, -1)[:, None] + jnp.sum(Z * Z, -1)[None, :] - 2.0 * xz, 0.0
+        jnp.sum(Xc * Xc, -1)[:, None] + jnp.sum(Zc * Zc, -1)[None, :] - 2.0 * xz, 0.0
     )
     _, pullback = jax.vjp(k_of_r2, r2)
     (W,) = pullback(gbar)  # W = ḡ ∘ g'(r²)

@@ -125,3 +125,13 @@ def test_matern_gradient_no_nan_at_zero_distance():
 
     g = jax.grad(loss)(0.9)
     assert np.isfinite(g)
+
+
+def test_white_kernel_cross_gram_matches_delta_semantics():
+    """Two-argument WhiteKernel gram compares point values (KernelFunctions
+    delta semantics): shared points between X and Z produce 1."""
+    x = jnp.array([[0.0], [1.0], [2.0]])
+    z = jnp.array([[1.0], [3.0]])
+    K = agp.WhiteKernel().gram(x, z)
+    np.testing.assert_allclose(K, np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 0.0]]))
+    np.testing.assert_allclose(agp.WhiteKernel().gram(x, x), np.eye(3))

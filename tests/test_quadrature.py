@@ -120,3 +120,23 @@ def test_likelihood_conditional_samples(key):
     assert abs(float(y.mean()) - 0.5) < 0.05
     yp = agp.PoissonLikelihood().conditional_sample(key, f)  # rate = e^0 = 1
     assert abs(float(yp.mean()) - 1.0) < 0.1
+
+
+def test_montecarlo_requires_key(key):
+    mu, var = _qf(key)
+    y = jnp.zeros(10)
+    with pytest.raises(ValueError, match="explicit PRNG key"):
+        expected_loglikelihood(MonteCarlo(10), agp.BernoulliLikelihood(), mu, var, y)
+
+
+def test_gh_clamps_negative_variance(key):
+    """f32 cancellation can make SVGP marginal variances dip slightly
+    negative; the quadrature must clamp rather than NaN (ADVICE r1)."""
+    mu = jnp.zeros(4)
+    var = jnp.array([0.1, -1e-7, 0.0, 0.2])
+    y = jnp.ones(4)
+    lik = agp.BernoulliLikelihood()
+    out = expected_loglikelihood(GaussHermite(20), lik, mu, var, y)
+    assert bool(jnp.isfinite(out).all())
+    g = jax.grad(lambda v: expected_loglikelihood(GaussHermite(20), lik, mu, v, y).sum())(var)
+    assert bool(jnp.isfinite(g).all())
