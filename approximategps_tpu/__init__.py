@@ -97,6 +97,7 @@ from .models import (
     laplace_f_and_lml,
     laplace_lml,
     laplace_steps,
+    laplace_steps_scan,
     newton_inner_loop,
     optimal_variational_posterior,
     posterior,

@@ -12,6 +12,7 @@ from .laplace import (
     laplace_f_cov,
     laplace_lml,
     laplace_steps,
+    laplace_steps_scan,
     newton_inner_loop,
     newton_inner_loop_jvp,
 )
