@@ -31,6 +31,14 @@ from .svgp import Centered, SparseVariationalApproximation, prior_kl
 __all__ = ["streaming_elbo", "streaming_data_term", "dp_streaming_elbo"]
 
 
+def _pad_leading(a: jax.Array, pad: int) -> jax.Array:
+    """Pad the leading axis with copies of the first row (numerically safe
+    kernel inputs; padded rows are masked out of every reduction)."""
+    if pad == 0:
+        return a
+    return jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+
+
 def streaming_data_term(
     sva: SparseVariationalApproximation,
     lik,
@@ -39,11 +47,17 @@ def streaming_data_term(
     block_size: int = 8192,
     quadrature=None,
     remat: bool = True,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Σᵢ E_{q(fᵢ)}[log p(yᵢ|fᵢ)] accumulated in blocks of ``block_size``.
 
     The data term alone (no num_data scale, no KL) so it can be psum-reduced
     across a device mesh by :func:`dp_streaming_elbo`.
+
+    N need NOT be a multiple of ``block_size``: the tail block is padded with
+    copies of the first point and masked out of the reduction.  ``mask``
+    (optional, shape (N,), 0/1 or bool) additionally down-weights points —
+    used by :func:`dp_streaming_elbo` for uneven shards.
     """
     if quadrature is None:
         quadrature = DefaultExpectationMethod()
@@ -60,13 +74,20 @@ def streaming_data_term(
         B = sva.q.scale_tril
 
     n = y.shape[0]
-    assert n % block_size == 0, "pad the data to a multiple of block_size"
-    n_blocks = n // block_size
+    block_size = min(block_size, n)
+    pad = (-n) % block_size
+    w = jnp.ones((n,), dtype=m.dtype) if mask is None else jnp.asarray(mask, m.dtype)
+    if pad:
+        x = _pad_leading(x, pad)
+        y = _pad_leading(y, pad)
+        w = jnp.concatenate([w, jnp.zeros((pad,), dtype=w.dtype)])
+    n_blocks = (n + pad) // block_size
     xb = x.reshape((n_blocks, block_size) + x.shape[1:])
     yb = y.reshape((n_blocks, block_size) + y.shape[1:])
+    wb = w.reshape((n_blocks, block_size))
     z = fz.x
 
-    def block_ell(xi, yi):
+    def block_ell(xi, yi, wi):
         Kuf = prior.cov(z, xi)  # (M, B) Gram — HOT
         A = jnp.matmul(Lk_inv, Kuf, precision=config.matmul_precision)
         mu = prior.mean(xi) + Kuf.T @ alpha
@@ -78,19 +99,19 @@ def streaming_data_term(
             )
         )
         ell = expected_loglikelihood(quadrature, lik, mu, var, yi)
-        return jnp.sum(ell)
+        return jnp.sum(ell * wi)
 
     if remat:
         block_ell = jax.checkpoint(block_ell)
 
-    def scan_body(acc, xy):
-        xi, yi = xy
-        return acc + block_ell(xi, yi), None
+    def scan_body(acc, xyw):
+        xi, yi, wi = xyw
+        return acc + block_ell(xi, yi, wi), None
 
     # initial carry derived from the data so its shard_map varying-axis type
     # matches the block outputs (a plain zero is 'unvarying' and rejected)
     acc0 = jnp.zeros((), dtype=m.dtype) + jnp.asarray(xb.ravel()[0] * 0, dtype=m.dtype)
-    total_ell, _ = jax.lax.scan(scan_body, acc0, (xb, yb))
+    total_ell, _ = jax.lax.scan(scan_body, acc0, (xb, yb, wb))
     return total_ell
 
 
@@ -108,7 +129,7 @@ def streaming_elbo(
 
     Mathematically identical to ``elbo(sva, lfx, y, num_data=...)`` — verified
     against it in tests — but with O(M·block) peak memory instead of O(M·N).
-    N must be a multiple of block_size (pad + mask upstream otherwise).
+    Any N works: a non-multiple tail block is padded and masked internally.
     """
     total_ell = streaming_data_term(
         sva, lik, x, y, block_size=block_size, quadrature=quadrature, remat=remat
@@ -134,25 +155,35 @@ def dp_streaming_elbo(
     config of BASELINE.md): each chip scans its local shard of (x, y), the
     per-point expectations are ``psum``-reduced over ICI, and the (replicated)
     KL is subtracted once.  Differentiable; gradients of the replicated
-    parameters are automatically psum-reduced by shard_map's transpose."""
+    parameters are automatically psum-reduced by shard_map's transpose.
+
+    N need not divide the mesh size: inputs are padded to a device multiple
+    and the padded points are masked out of the reduction."""
     from jax.sharding import PartitionSpec as P
 
     n = y.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-n) % n_dev
+    w = jnp.ones((n,), dtype=sva.q.mean.dtype)
+    if pad:
+        x = _pad_leading(x, pad)
+        y = _pad_leading(y, pad)
+        w = jnp.concatenate([w, jnp.zeros((pad,), dtype=w.dtype)])
 
-    def local(sva_, lik_, x_loc, y_loc):
+    def local(sva_, lik_, x_loc, y_loc, w_loc):
         ell = streaming_data_term(
             sva_, lik_, x_loc, y_loc,
             block_size=min(block_size, y_loc.shape[0]),
-            quadrature=quadrature, remat=remat,
+            quadrature=quadrature, remat=remat, mask=w_loc,
         )
         return jax.lax.psum(ell, axis_name)
 
     total_ell = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis_name), P(axis_name)),
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=P(),
-    )(sva, lik, x, y)
+    )(sva, lik, x, y, w)
 
     scale = 1.0 if num_data is None else num_data / n
     return total_ell * scale - prior_kl(sva)

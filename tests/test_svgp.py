@@ -444,3 +444,41 @@ def test_prior_consistency_rejects_different_hyperparameters(key):
     # under jit (tracers) the structural check still passes for valid priors
     val = jax.jit(lambda: agp.elbo(sva, f1b(x, 0.1), y))()
     assert jnp.isfinite(val)
+
+
+def test_streaming_elbo_uneven_block(elbo_setup):
+    """streaming ELBO with N=20 not a multiple of block_size=7: the tail is
+    padded and masked; values and gradients match the dense elbo (VERDICT r1
+    item 6)."""
+    from approximategps_tpu.models.svgp_streaming import streaming_elbo
+
+    x, y = elbo_setup
+    M = 5
+    lik = agp.GaussianLikelihood(0.1)
+
+    def build(params):
+        f = agp.GP(make_kernel(params["k"]))
+        fz = f(params["z"], 1e-6)
+        q = agp.MultivariateNormal(params["m"], jnp.tril(params["A"]))
+        return agp.SparseVariationalApproximation(fz, q), f
+
+    params = {
+        "k": jnp.array([0.2, 0.6]),
+        "z": x[:M].copy(),
+        "m": jnp.linspace(-0.5, 0.5, M),
+        "A": jnp.eye(M),
+    }
+
+    def dense(params):
+        sva, f = build(params)
+        return agp.elbo(sva, f(x, 0.1), y, num_data=40)
+
+    def stream(params):
+        sva, _ = build(params)
+        return streaming_elbo(sva, lik, x, y, block_size=7, num_data=40)
+
+    v1, g1 = jax.value_and_grad(dense)(params)
+    v2, g2 = jax.value_and_grad(stream)(params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-9)
+    for k in g1:
+        np.testing.assert_allclose(g2[k], g1[k], rtol=1e-6, atol=1e-10)
