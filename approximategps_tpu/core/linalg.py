@@ -11,6 +11,8 @@ runs f64 on CPU for oracle tests and f32/bf16 on TPU.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -30,6 +32,7 @@ __all__ = [
     "symmetrize",
     "blocked_tril_inv",
     "blocked_cholesky",
+    "chol_with_inv",
 ]
 
 
@@ -49,16 +52,14 @@ def safe_cholesky(A: jax.Array, jitter: float | jax.Array | None = None) -> jax.
     (``src/utils.jl:17``); the jitter there lives in the FiniteGP noise, so
     callers here usually pass ``jitter=None`` and add noise beforehand.
 
-    Large factorizations route through :func:`blocked_cholesky`: its Schur
-    updates run at explicit full precision, whereas XLA's TPU cholesky
-    internals follow the *global* matmul-precision default (bf16 passes),
-    which loses PSD-ness for ill-conditioned f32 Grams.
-    """
+    Uses XLA's native cholesky: measured on this stack (jax 0.9 / v5e) it is
+    f32-accurate bit-for-bit with the explicit full-precision-Schur
+    :func:`blocked_cholesky` even at cond ~1e8, and ~2× faster at M=2048
+    (the round-1 bf16-internals concern no longer reproduces).  Its native
+    VJP is the efficient solve-based pullback."""
     A = symmetrize(A)
     if jitter is not None:
         A = add_jitter(A, jitter)
-    if A.ndim == 2 and A.shape[-1] > 256:
-        return blocked_cholesky(A, base=256)
     return jnp.linalg.cholesky(A)
 
 
@@ -121,16 +122,66 @@ def diag_Xt_invA_X(L: jax.Array, X: jax.Array) -> jax.Array:
     return diag_At_A(V)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def blocked_tril_inv(L: jax.Array, base: int = 128) -> jax.Array:
     """Inverse of a lower-triangular matrix by recursive 2×2 blocking:
 
         [[A, 0], [B, C]]⁻¹ = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]]
 
-    All the O(n³) work lands in matmuls (MXU-friendly, fast to
-    differentiate); only ``base``-sized diagonal blocks use the LAPACK-style
-    triangular solve.  On TPU this substantially outperforms a full-size
-    ``triangular_solve`` against the identity, which is latency-bound.
-    """
+    All the O(n³) work lands in matmuls (MXU-friendly); only ``base``-sized
+    diagonal blocks use the LAPACK-style triangular solve.  On TPU this
+    substantially outperforms a full-size ``triangular_solve`` against the
+    identity, which is latency-bound.
+
+    Custom VJP: ``L̄ = tril(−X⁻ᵀ X̄ X⁻ᵀ)`` with ``X = L⁻¹`` reused from the
+    forward — two matmuls instead of differentiating the recursion (the
+    round-1 backward-pass hot spot)."""
+    return _blocked_tril_inv_impl(L, base)
+
+
+def _blocked_tril_inv_impl(L: jax.Array, base: int = 128) -> jax.Array:
+    n = L.shape[-1]
+    if n <= base or L.ndim != 2 or n % base:
+        return _blocked_tril_inv_recursive(L, base)
+    nb = n // base
+    if nb & (nb - 1):  # not a power-of-two block count
+        return _blocked_tril_inv_recursive(L, base)
+
+    # Level-batched: ONE batched triangular solve inverts every diagonal
+    # base-block at once, then each doubling level combines all sibling
+    # pairs with two batched matmuls:
+    #     [[A, 0], [B, C]]⁻¹ = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]]
+    # log2(n/base) levels → ~2·log2 kernel launches instead of O(n/base)
+    # sequential small ops (TPU executes ops one at a time; the recursive
+    # form was launch-latency-bound).
+    Lr = L.reshape(nb, base, nb, base)
+    diag = Lr[jnp.arange(nb), :, jnp.arange(nb), :]  # (nb, base, base)
+    V = lax.linalg.triangular_solve(
+        diag,
+        jnp.broadcast_to(jnp.eye(base, dtype=L.dtype), (nb, base, base)),
+        left_side=True,
+        lower=True,
+    )
+    b = base
+    while b < n:
+        npairs = n // (2 * b)
+        Lp = L.reshape(npairs, 2, b, npairs, 2, b)
+        j = jnp.arange(npairs)
+        B = Lp[j, 1, :, j, 0, :]  # (npairs, b, b) — sub-diagonal blocks
+        Ai = V[0::2]
+        Ci = V[1::2]
+        BAi = jnp.matmul(B, Ai, precision="highest")
+        lower_left = -jnp.matmul(Ci, BAi, precision="highest")
+        top = jnp.concatenate(
+            [Ai, jnp.zeros((npairs, b, b), dtype=L.dtype)], axis=-1
+        )
+        bottom = jnp.concatenate([lower_left, Ci], axis=-1)
+        V = jnp.concatenate([top, bottom], axis=-2)  # (npairs, 2b, 2b)
+        b *= 2
+    return V[0]
+
+
+def _blocked_tril_inv_recursive(L: jax.Array, base: int) -> jax.Array:
     n = L.shape[-1]
     if n <= base:
         return lax.linalg.triangular_solve(
@@ -143,8 +194,8 @@ def blocked_tril_inv(L: jax.Array, base: int = 128) -> jax.Array:
     A = L[..., :half, :half]
     B = L[..., half:, :half]
     C = L[..., half:, half:]
-    Ai = blocked_tril_inv(A, base)
-    Ci = blocked_tril_inv(C, base)
+    Ai = _blocked_tril_inv_recursive(A, base)
+    Ci = _blocked_tril_inv_recursive(C, base)
     # full precision: inverse accuracy feeds every downstream projection
     BAi = jnp.matmul(B, Ai, precision="highest")
     lower_left = -jnp.matmul(Ci, BAi, precision="highest")
@@ -153,6 +204,55 @@ def blocked_tril_inv(L: jax.Array, base: int = 128) -> jax.Array:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def _bwd_precision():
+    # Pullback matmuls follow the production matmul policy (bf16-accumulate
+    # on TPU): cotangent accuracy is a training-noise question, not a
+    # PSD-correctness question like the forward factorizations.
+    from ..config import config
+
+    return config.matmul_precision
+
+
+def _tril_inv_bwd_math(Linv: jax.Array, Linv_bar: jax.Array) -> jax.Array:
+    """L̄ = tril(−L⁻ᵀ L̄ᵢₙᵥ L⁻ᵀ) — the triangular-inverse pullback."""
+    prec = _bwd_precision()
+    LiT = jnp.swapaxes(Linv, -1, -2)
+    Lbar = -jnp.matmul(LiT, jnp.matmul(Linv_bar, LiT, precision=prec),
+                       precision=prec)
+    return jnp.tril(Lbar)
+
+
+def _blocked_tril_inv_fwd(L, base):
+    Linv = _blocked_tril_inv_impl(L, base)
+    return Linv, Linv
+
+
+def _blocked_tril_inv_bwd(base, Linv, Linv_bar):
+    return (_tril_inv_bwd_math(Linv, Linv_bar),)
+
+
+blocked_tril_inv.defvjp(_blocked_tril_inv_fwd, _blocked_tril_inv_bwd)
+
+
+def _phi(X: jax.Array) -> jax.Array:
+    """tril with halved diagonal — the Cholesky-differential projector."""
+    return jnp.tril(X) - 0.5 * jnp.tril(jnp.triu(X))
+
+
+def _chol_bwd_from_inv(L, Linv, L_bar):
+    """Ā from L̄ using L⁻¹ (Murray 2016, eq. 8 rearranged):
+    Ā = sym(L⁻ᵀ Φ(Lᵀ L̄) L⁻¹) — three matmuls, no triangular solves."""
+    prec = _bwd_precision()
+    Lt_Lbar = jnp.matmul(jnp.swapaxes(L, -1, -2), jnp.tril(L_bar),
+                         precision=prec)
+    P = _phi(Lt_Lbar)
+    LiT = jnp.swapaxes(Linv, -1, -2)
+    Abar = jnp.matmul(LiT, jnp.matmul(P, Linv, precision=prec),
+                      precision=prec)
+    return symmetrize(Abar)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def blocked_cholesky(A: jax.Array, base: int = 256) -> jax.Array:
     """Lower Cholesky factor by recursive 2×2 blocking (right-looking):
 
@@ -162,7 +262,16 @@ def blocked_cholesky(A: jax.Array, base: int = 256) -> jax.Array:
     The panel solve uses :func:`blocked_tril_inv` so all O(n³) work is MXU
     matmuls; only ``base``-sized diagonal blocks call the XLA cholesky.
     The SURVEY.md §7 "blocked MXU Cholesky" building block.
-    """
+
+    Custom VJP: the standard Cholesky pullback computed with two triangular
+    solves — O(n³) like XLA's, but crucially NOT a differentiation of the
+    recursion above (which was the round-1 backward hot spot).  When the
+    inverse is needed anyway, use :func:`chol_with_inv` for a matmul-only
+    pullback."""
+    return _blocked_cholesky_impl(A, base)
+
+
+def _blocked_cholesky_impl(A: jax.Array, base: int = 256) -> jax.Array:
     n = A.shape[-1]
     if n <= base:
         return jnp.linalg.cholesky(A)
@@ -172,11 +281,85 @@ def blocked_cholesky(A: jax.Array, base: int = 256) -> jax.Array:
     A11 = A[..., :half, :half]
     A21 = A[..., half:, :half]
     A22 = A[..., half:, half:]
-    L11 = blocked_cholesky(A11, base)
-    L11_inv = blocked_tril_inv(L11, base)
+    L11 = _blocked_cholesky_impl(A11, base)
+    L11_inv = _blocked_tril_inv_impl(L11, base)
     L21 = jnp.matmul(A21, jnp.swapaxes(L11_inv, -1, -2), precision="highest")
     S = A22 - jnp.matmul(L21, jnp.swapaxes(L21, -1, -2), precision="highest")
-    L22 = blocked_cholesky(S, base)
+    L22 = _blocked_cholesky_impl(S, base)
     top = jnp.concatenate([L11, jnp.zeros_like(A[..., :half, half:])], axis=-1)
     bottom = jnp.concatenate([L21, L22], axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+def _blocked_cholesky_fwd(A, base):
+    L = _blocked_cholesky_impl(A, base)
+    return L, L
+
+
+def _blocked_cholesky_bwd(base, L, L_bar):
+    # Ā = sym(L⁻ᵀ Φ(Lᵀ L̄) L⁻¹) via two triangular solves (no inverse stored)
+    P = _phi(jnp.matmul(jnp.swapaxes(L, -1, -2), jnp.tril(L_bar),
+                        precision="highest"))
+    # X = L⁻ᵀ P  (solve Lᵀ X = P)
+    X = lax.linalg.triangular_solve(L, P, left_side=True, lower=True,
+                                    transpose_a=True)
+    # Ā = X L⁻¹  (solve Ā L = X from the right)
+    Abar = lax.linalg.triangular_solve(L, X, left_side=False, lower=True,
+                                       transpose_a=False)
+    return (symmetrize(Abar),)
+
+
+blocked_cholesky.defvjp(_blocked_cholesky_fwd, _blocked_cholesky_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def chol_with_inv(A: jax.Array, base: int = 256) -> tuple[jax.Array, jax.Array]:
+    """Fused ``(L, L⁻¹) = (chol(sym(A)), tril_inv(L))`` with a matmul-only
+    custom VJP.  Add any jitter to ``A`` BEFORE calling (keeps it
+    differentiable).
+
+    This is the SVGP hot-path factorization (``solve_mode="inv_matmul"``):
+    the forward already pays for L⁻¹, so the Cholesky pullback
+    ``Ā = sym(L⁻ᵀ Φ(Lᵀ L̄) L⁻¹)`` and the inverse pullback
+    ``L̄ += tril(−L⁻ᵀ L̄ᵢₙᵥ L⁻ᵀ)`` are five MXU matmuls total — no
+    triangular solves and no recursion in the backward graph."""
+    return _chol_with_inv_impl(A, base)
+
+
+def _chol_with_inv_impl(A, base):
+    A = symmetrize(A)
+    L = jnp.linalg.cholesky(A)  # f32-accurate on this stack; see safe_cholesky
+    if A.ndim == 2 and A.shape[-1] > base:
+        Linv = _blocked_tril_inv_impl(L, min(base, 128))
+    else:
+        Linv = lax.linalg.triangular_solve(
+            L, jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape),
+            left_side=True, lower=True,
+        )
+    return L, Linv
+
+
+def _chol_with_inv_fwd(A, base):
+    L, Linv = _chol_with_inv_impl(A.value, base)
+    return (L, Linv), (L, Linv)
+
+
+def _chol_with_inv_bwd(base, res, cts):
+    from jax.custom_derivatives import SymbolicZero
+
+    L, Linv = res
+    L_bar, Linv_bar = cts
+    # symbolic zeros: in the whitened SVGP path only L⁻¹ carries a cotangent
+    # (Kuu_L is cached but unused), so the L̄ branch vanishes entirely.
+    total = None
+    if not isinstance(Linv_bar, SymbolicZero):
+        total = _tril_inv_bwd_math(Linv, Linv_bar)
+    if not isinstance(L_bar, SymbolicZero):
+        t = jnp.tril(L_bar)
+        total = t if total is None else total + t
+    if total is None:
+        return (jnp.zeros_like(L),)
+    return (_chol_bwd_from_inv(L, Linv, total),)
+
+
+chol_with_inv.defvjp(_chol_with_inv_fwd, _chol_with_inv_bwd, symbolic_zeros=True)

@@ -179,12 +179,6 @@ def inducing_points(f_post: SVGPPosterior) -> jax.Array:
     return f_post.inducing_points()
 
 
-def _maybe_inv(L: jax.Array) -> jax.Array | None:
-    if config.solve_mode == "inv_matmul":
-        return linalg.blocked_tril_inv(L)
-    return None
-
-
 @posterior.register(SparseVariationalApproximation)
 def _posterior_svgp(
     sva: SparseVariationalApproximation, lfx=None, ys=None, **_
@@ -196,8 +190,13 @@ def _posterior_svgp(
         _check_consistent_prior(sva, lfx)
     q, fz = sva.q, sva.fz
     m = q.mean
-    Kuu_L = fz.scale_tril()  # chol(Kuu + jitter I): M×M Gram + O(M³) chol
-    Lk_inv = _maybe_inv(Kuu_L)
+    if config.solve_mode == "inv_matmul":
+        # fused chol + tril-inv with a matmul-only custom VJP (no recursion
+        # or triangular solves in the backward graph)
+        Kuu_L, Lk_inv = linalg.chol_with_inv(fz.cov())
+    else:
+        Kuu_L = fz.scale_tril()  # chol(Kuu + jitter I): M×M Gram + O(M³) chol
+        Lk_inv = None
     if isinstance(sva.parametrization, Centered):
         # B = Lk⁻¹ Lq ; α = Kuu⁻¹ (m − mean(fz))
         if Lk_inv is not None:

@@ -64,8 +64,7 @@ def streaming_data_term(
     fz = sva.fz
     prior = fz.f
     m = sva.q.mean
-    Kuu_L = fz.scale_tril()
-    Lk_inv = linalg.blocked_tril_inv(Kuu_L)
+    Kuu_L, Lk_inv = linalg.chol_with_inv(fz.cov())
     if isinstance(sva.parametrization, Centered):
         B = Lk_inv @ sva.q.scale_tril
         alpha = Lk_inv.T @ (Lk_inv @ (m - fz.mean()))
