@@ -39,6 +39,13 @@ class _Config:
     # Matmul precision for the big Gram/projection matmuls ("default",
     # "float32", "bfloat16_3x", "highest").
     matmul_precision: str = os.environ.get("AGP_MATMUL_PRECISION", "highest")
+    # Storage dtype for the large O(M·B) projection intermediates (Kuf, A,
+    # BᵀA) in the SVGP data-term path:
+    #   "float32":  full-width storage (default)
+    #   "bfloat16": bf16 storage with f32 MXU accumulation — halves the HBM
+    #               traffic of the step's biggest tensors; master params,
+    #               factorizations, KL and all reductions stay f32.
+    compute_dtype: str = os.environ.get("AGP_COMPUTE_DTYPE", "float32")
     # Default jitter added to Kuu/Kff diagonals when the user passes none.
     default_jitter: float = 1e-8
 

@@ -106,8 +106,12 @@ def At_A(A: jax.Array) -> jax.Array:
 
 
 def diag_At_A(A: jax.Array) -> jax.Array:
-    """diag(A^T A) without forming the product (AbstractGPs.diag_At_A)."""
-    return jnp.sum(A * A, axis=-2)
+    """diag(A^T A) without forming the product (AbstractGPs.diag_At_A).
+
+    Accumulates in at least f32 (bf16 inputs would otherwise lose
+    ~sqrt(M)·eps_bf16 per entry) and returns the accumulation dtype."""
+    acc = jnp.promote_types(A.dtype, jnp.float32)
+    return jnp.einsum("...ij,...ij->...j", A, A, preferred_element_type=acc)
 
 
 def Xt_invA_X(L: jax.Array, X: jax.Array) -> jax.Array:

@@ -103,6 +103,22 @@ class _SVGPCache:
     Lk_inv: jax.Array | None = None
 
 
+def _storage_dtype(dtype):
+    """bf16 storage dtype for the big projection intermediates, or None.
+
+    Only active for f32 inputs under ``config.compute_dtype="bfloat16"`` —
+    f64 oracle mode is never downcast."""
+    if config.compute_dtype == "bfloat16" and dtype == jnp.float32:
+        return jnp.bfloat16
+    return None
+
+
+def _matvec_f32(a, b):
+    """a @ b with accumulation in (at least) f32 even for bf16 storage."""
+    acc = jnp.promote_types(jnp.promote_types(a.dtype, b.dtype), jnp.float32)
+    return jnp.matmul(a, b, preferred_element_type=acc).astype(acc)
+
+
 @pytree_dataclass
 class SVGPPosterior(AbstractGP):
     """ApproxPosteriorGP{SparseVariationalApproximation} with the prediction
@@ -122,16 +138,31 @@ class SVGPPosterior(AbstractGP):
     def _A_and_Kuf(self, x):
         Kuf = self.prior.cov(self.inducing_points(), x)
         if self.cache.Lk_inv is not None:
-            A = jnp.matmul(self.cache.Lk_inv, Kuf, precision=config.matmul_precision)
+            dt = _storage_dtype(Kuf.dtype)
+            if dt is not None:
+                # bf16 storage: the cast fuses into the Gram producer, so the
+                # (M, B) intermediates hit HBM at half width; the MXU still
+                # accumulates f32 internally
+                Kuf = Kuf.astype(dt)
+                A = jnp.matmul(
+                    self.cache.Lk_inv.astype(dt), Kuf, preferred_element_type=dt
+                )
+            else:
+                A = jnp.matmul(
+                    self.cache.Lk_inv, Kuf, precision=config.matmul_precision
+                )
         else:
             A = linalg.solve_lower_triangular(self.cache.Kuu_L, Kuf)
         return A, Kuf
 
     def mean(self, x):
         Kuf = self.prior.cov(self.inducing_points(), x)
-        return self.prior.mean(x) + Kuf.T @ self.cache.alpha
+        return self.prior.mean(x) + _matvec_f32(Kuf.T, self.cache.alpha)
 
     def _BtA(self, A):
+        dt = _storage_dtype(self.cache.B.dtype)
+        if dt is not None and A.dtype == dt:
+            return jnp.matmul(self.cache.B.T.astype(dt), A, preferred_element_type=dt)
         return jnp.matmul(self.cache.B.T, A, precision=config.matmul_precision)
 
     def cov(self, x, z=None):
@@ -159,13 +190,13 @@ class SVGPPosterior(AbstractGP):
 
     def mean_and_cov(self, x):
         A, Kuf = self._A_and_Kuf(x)
-        mu = self.prior.mean(x) + Kuf.T @ self.cache.alpha
+        mu = self.prior.mean(x) + _matvec_f32(Kuf.T, self.cache.alpha)
         S = self.prior.cov(x) - linalg.At_A(A) + linalg.At_A(self._BtA(A))
         return mu, S
 
     def mean_and_var(self, x):
         A, Kuf = self._A_and_Kuf(x)
-        mu = self.prior.mean(x) + Kuf.T @ self.cache.alpha
+        mu = self.prior.mean(x) + _matvec_f32(Kuf.T, self.cache.alpha)
         v = (
             self.prior.var(x)
             - linalg.diag_At_A(A)

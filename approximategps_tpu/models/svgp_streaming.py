@@ -26,7 +26,13 @@ from ..config import config
 from ..core import linalg
 from ..core.gp import LatentFiniteGP
 from ..core.quadrature import DefaultExpectationMethod, expected_loglikelihood
-from .svgp import Centered, SparseVariationalApproximation, prior_kl
+from .svgp import (
+    Centered,
+    SparseVariationalApproximation,
+    _matvec_f32,
+    _storage_dtype,
+    prior_kl,
+)
 
 __all__ = ["streaming_elbo", "streaming_data_term", "dp_streaming_elbo"]
 
@@ -88,15 +94,17 @@ def streaming_data_term(
 
     def block_ell(xi, yi, wi):
         Kuf = prior.cov(z, xi)  # (M, B) Gram — HOT
-        A = jnp.matmul(Lk_inv, Kuf, precision=config.matmul_precision)
-        mu = prior.mean(xi) + Kuf.T @ alpha
-        var = (
-            prior.var(xi)
-            - linalg.diag_At_A(A)
-            + linalg.diag_At_A(
-                jnp.matmul(B.T, A, precision=config.matmul_precision)
-            )
-        )
+        dt = _storage_dtype(Kuf.dtype)
+        if dt is not None:
+            # bf16 storage for the block intermediates; f32 accumulation
+            Kuf = Kuf.astype(dt)
+            A = jnp.matmul(Lk_inv.astype(dt), Kuf, preferred_element_type=dt)
+            BtA = jnp.matmul(B.T.astype(dt), A, preferred_element_type=dt)
+        else:
+            A = jnp.matmul(Lk_inv, Kuf, precision=config.matmul_precision)
+            BtA = jnp.matmul(B.T, A, precision=config.matmul_precision)
+        mu = prior.mean(xi) + _matvec_f32(Kuf.T, alpha)
+        var = prior.var(xi) - linalg.diag_At_A(A) + linalg.diag_At_A(BtA)
         ell = expected_loglikelihood(quadrature, lik, mu, var, yi)
         return jnp.sum(ell * wi)
 

@@ -366,7 +366,18 @@ def main():
     print(json.dumps(result))
 
     if args.full:
+        def headline_bf16():
+            from approximategps_tpu.config import set_config
+
+            set_config(compute_dtype="bfloat16")
+            try:
+                ms, info = headline(M=args.M, batch=args.batch, repeats=3)
+            finally:
+                set_config(compute_dtype="float32")
+            return ms
+
         for name, fn in [
+            ("svgp_elbo_grad_step_ms_bf16(N=1e6,M=2048,B=8192)", headline_bf16),
             ("svgp_streaming_fullbatch_elbo_grad_ms(N=2^20,M=2048)", full_streaming),
             (
                 "svgp_streaming_fullbatch_elbo_grad_ms(N=1e7,M=2048)",

@@ -482,3 +482,49 @@ def test_streaming_elbo_uneven_block(elbo_setup):
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-9)
     for k in g1:
         np.testing.assert_allclose(g2[k], g1[k], rtol=1e-6, atol=1e-10)
+
+
+def test_bf16_compute_dtype_accuracy(elbo_setup):
+    """compute_dtype='bfloat16' (VERDICT r1 item 10): ELBO within bf16
+    tolerance of the f32 value, gradients finite; f64 oracle mode unaffected."""
+    from approximategps_tpu.config import config_context
+
+    x, y = elbo_setup
+    x32, y32 = x.astype(jnp.float32), y.astype(jnp.float32)
+    M = 5
+
+    def build(dtype):
+        f = agp.GP(1.3 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.9))
+        fz = f(x32[:M].astype(dtype), 1e-5)
+        q = agp.MultivariateNormal(
+            jnp.linspace(-0.5, 0.5, M).astype(dtype), jnp.eye(M, dtype=dtype)
+        )
+        return agp.SparseVariationalApproximation(fz, q), f
+
+    def loss(dtype=jnp.float32):
+        sva, f = build(dtype)
+        return agp.elbo(sva, f(x32.astype(dtype), 0.1), y32.astype(dtype))
+
+    with config_context(solve_mode="inv_matmul", compute_dtype="float32"):
+        e32 = float(loss())
+    with config_context(solve_mode="inv_matmul", compute_dtype="bfloat16"):
+        ebf = float(loss())
+        # relative gate: bf16 storage of the projection intermediates
+        assert abs(ebf - e32) / abs(e32) < 2e-2, (ebf, e32)
+        g = jax.grad(lambda m: agp.elbo(
+            agp.SparseVariationalApproximation(
+                build(jnp.float32)[0].fz,
+                agp.MultivariateNormal(m, jnp.eye(M, dtype=jnp.float32)),
+            ),
+            build(jnp.float32)[1](x32, 0.1), y32))(jnp.zeros(M, jnp.float32))
+        assert bool(jnp.isfinite(g).all())
+    # f64 inputs are never downcast even with the flag on
+    with config_context(solve_mode="inv_matmul", compute_dtype="bfloat16"):
+        f = agp.GP(1.3 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.9))
+        fz = f(x[:M], 1e-8)
+        q = agp.MultivariateNormal(jnp.linspace(-0.5, 0.5, M), jnp.eye(M))
+        sva = agp.SparseVariationalApproximation(fz, q)
+        e64 = float(agp.elbo(sva, f(x, 0.1), y))
+    with config_context(solve_mode="inv_matmul", compute_dtype="float32"):
+        e64_ref = float(agp.elbo(sva, f(x, 0.1), y))
+    np.testing.assert_allclose(e64, e64_ref, rtol=1e-12)
