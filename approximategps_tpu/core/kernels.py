@@ -387,6 +387,36 @@ def with_lengthscale(kernel: Kernel, lengthscale: jax.Array) -> Kernel:
     return InputScaledKernel(kernel, 1.0 / l)
 
 
+def unwrap_stationary(kern: Kernel):
+    """Decompose ``σ²·(base ∘ ScaleTransform(s))`` nests into
+    ``(static k_of_r2, input_scale, variance)``, or None if the kernel is not
+    a (possibly scaled) parameter-free stationary kernel.
+
+    Lets fused Pallas kernels handle the standard scaled/lengthscaled
+    kernels: the elementwise map stays a static function (warm jit cache)
+    while lengthscale folds into the inputs and variance post-scales the
+    output."""
+    variance = None
+    scale = None
+    while True:
+        if isinstance(kern, ScaledKernel):
+            v = jnp.asarray(kern.variance)
+            variance = v if variance is None else variance * v
+            kern = kern.inner
+        elif isinstance(kern, InputScaledKernel):
+            s = jnp.asarray(kern.scale)
+            scale = s if scale is None else scale * s
+            kern = kern.inner
+        else:
+            break
+    if not isinstance(kern, StationaryKernel):
+        return None
+    fn = kern._static_k_of_r2()
+    if fn is None:
+        return None
+    return fn, scale, variance
+
+
 @pytree_dataclass
 class SumKernel(Kernel):
     left: Kernel

@@ -110,14 +110,40 @@ class BandInvRoot:
 
 
 def _resolve_use_pallas(use_pallas):
-    # The fused Pallas batched-Cholesky kernel (ops/batched_chol.py) is
-    # correct (validated in interpret mode + custom VJP) but its fully
-    # unrolled k-step body compiles impractically slowly in Mosaic at k≈32,
-    # so the default production path is XLA's batched cholesky.  Opt in with
-    # use_pallas=True.
+    # Default False: the fused Pallas band kernel (window -> Gram -> factor
+    # -> band in one VMEM pass) now COMPILES at any k (in-kernel fori_loop +
+    # lane-only reductions fixed the round-1 Mosaic blockers) but measured
+    # 6.3 s vs 0.87 s for the unrolled-XLA path at N=1e6/k=32 on v5e: the
+    # lane-layout masked Cholesky uses only k of 128 lanes.  It remains
+    # opt-in (use_pallas=True) until a batch-on-lanes layout lands.
     if use_pallas is not None:
         return use_pallas
     return False
+
+
+def _fused_band(Xp: jax.Array, k: int, kern: Kernel):
+    """Fully fused Pallas path: returns the (N, k+1) band or None if the
+    kernel is not an (input-/output-)scaled parameter-free stationary
+    kernel.  Lengthscales fold into the inputs; the variance post-scales the
+    band exactly (U(σ²k) = U(k)/σ)."""
+    from ..core.kernels import unwrap_stationary
+    from ..ops.batched_chol import pallas_vecchia_band
+
+    unwrapped = unwrap_stationary(kern)
+    if unwrapped is None:
+        return None
+    fn, scale, variance = unwrapped
+    Xs = Xp if scale is None else Xp * jnp.asarray(scale, Xp.dtype)
+    N = Xs.shape[0]
+    idx = jnp.arange(N)[:, None] - k + jnp.arange(k)[None, :]
+    valid = (idx >= 0).astype(Xs.dtype)
+    idxc = jnp.clip(idx, 0, N - 1)
+    # (N, D, k+1): D on sublanes, window slots on lanes (Mosaic layout)
+    xw = jnp.concatenate([Xs[idxc], Xs[:, None, :]], axis=1).swapaxes(1, 2)
+    Uband = pallas_vecchia_band(xw, valid, fn)
+    if variance is not None:
+        Uband = Uband / jnp.sqrt(jnp.asarray(variance, Uband.dtype))
+    return Uband
 
 
 def approx_root_prec_band(
@@ -135,8 +161,15 @@ def approx_root_prec_band(
     Xp = as_points(x)
     N = Xp.shape[0]
     dtype = Xp.dtype
-    kern_diag = kern.diag(Xp)  # (N,)
     use_pallas = _resolve_use_pallas(use_pallas)
+
+    if use_pallas:
+        fused = _fused_band(Xp, k, kern)
+        if fused is not None:
+            return fused
+        # non-unwrappable kernel: fall through to the windowed paths below
+
+    kern_diag = kern.diag(Xp)  # (N,)
 
     def window(i):
         """Masked neighbor Gram, cross-covariances and prior variance for

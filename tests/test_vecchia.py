@@ -172,3 +172,35 @@ def test_approx_lml_conjugate_oracle():
     from approximategps_tpu import test_utils as tu
 
     tu.test_approx_lml(agp.NearestNeighbors(5))
+
+
+def test_fused_pallas_band_matches_xla(key):
+    """The fully fused Pallas band kernel (window → Gram → factor → band)
+    equals the XLA path in values and lengthscale/variance gradients."""
+    from approximategps_tpu.models.vecchia import approx_root_prec_band
+
+    x = jnp.sort(jax.random.uniform(key, (150,)) * 20)
+
+    def lml_proxy(theta, use_pallas):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.Matern32Kernel(), jax.nn.softplus(theta[1])
+        )
+        Uband = approx_root_prec_band(x, 8, kern, use_pallas=use_pallas)
+        return jnp.sum(jnp.log(Uband[:, -1])) + 0.01 * jnp.sum(Uband**2)
+
+    theta = jnp.array([0.7, 1.1])
+    v1, g1 = jax.value_and_grad(lml_proxy)(theta, False)
+    v2, g2 = jax.value_and_grad(lml_proxy)(theta, True)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-6)
+
+
+def test_fused_pallas_band_multidim_inputs(key):
+    """Fused band kernel with D=3 inputs (static feature loop) matches XLA."""
+    from approximategps_tpu.models.vecchia import approx_root_prec_band
+
+    x = jax.random.normal(key, (97, 3))
+    kern = 1.4 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.8)
+    U1 = approx_root_prec_band(x, 6, kern, use_pallas=False)
+    U2 = approx_root_prec_band(x, 6, kern, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U1), rtol=1e-7, atol=1e-9)
