@@ -83,6 +83,7 @@ from .models import (
     streaming_elbo,
     newton_inner_loop_jvp,
     BandInvRoot,
+    SparseInvRoot,
     Centered,
     LaplaceApproximation,
     LaplacePosterior,

@@ -26,5 +26,12 @@ from .svgp import (
     inducing_points,
     prior_kl,
 )
-from .vecchia import BandInvRoot, NearestNeighbors, approx_root_prec_band
+from .vecchia import (
+    BandInvRoot,
+    NearestNeighbors,
+    SparseInvRoot,
+    approx_root_prec_band,
+    approx_root_prec_sparse,
+    resolve_ordering,
+)
 from .vfe import VFE, optimal_variational_posterior, vfe_elbo

@@ -24,6 +24,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import linalg
 from ..core.gp import FiniteGP, PosteriorGP
@@ -34,7 +35,10 @@ from .api import approx_lml, posterior
 __all__ = [
     "NearestNeighbors",
     "BandInvRoot",
+    "SparseInvRoot",
     "approx_root_prec_band",
+    "approx_root_prec_sparse",
+    "resolve_ordering",
     "band_Ut_matmul",
     "band_U_matvec",
 ]
@@ -49,11 +53,27 @@ class NearestNeighbors:
     ``block_size`` chunks the batched small-Cholesky construction to bound
     peak memory for very large N (the (N, k, k) neighbor-Gram tensor);
     ``use_pallas`` opts the construction into the fused Pallas
-    batched-Cholesky kernel (default: XLA batched path)."""
+    batched-Cholesky kernel (default: XLA batched path).
+
+    Beyond the reference (which fixes conditioning sets to the *previous k
+    in the given order*, ``NearestNeighborsModule.jl:63-72``):
+
+    - ``ordering``: "natural" (as given, reference behavior), "random", or
+      "maximin" (greedy farthest-point, Guinness 2018 — the standard
+      accuracy upgrade for spatial data);
+    - ``neighbors``: "previous" (last k in the ordering — banded, fastest)
+      or "nearest" (k nearest among all predecessors — general gather
+      indices, host-side exact search in ``native/vecchia_order.cpp``).
+
+    Non-default choices need concrete (non-traced) inputs at posterior
+    construction: the ordering/neighbor search is host-side preprocessing;
+    everything downstream is jittable."""
 
     k: int = static_field()
     block_size: int | None = static_field(default=None)
     use_pallas: bool | None = static_field(default=None)
+    ordering: str = static_field(default="natural")
+    neighbors: str = static_field(default="previous")
 
 
 def band_Ut_matmul(Uband: jax.Array, X: jax.Array) -> jax.Array:
@@ -214,6 +234,8 @@ def approx_root_prec_band(
 def _posterior_nn(nn: NearestNeighbors, fx: FiniteGP, y: jax.Array, **_):
     """Reference ``:97-106``: returns a PosteriorGP masquerading as exact,
     with data (α = U Uᵀ δ, C = InvRoot(U), x, δ)."""
+    if nn.ordering != "natural" or nn.neighbors != "previous":
+        return _posterior_nn_general(nn, fx, y)
     kern = fx.f.kernel
     Uband = approx_root_prec_band(
         fx.x, nn.k, kern, nn.block_size, use_pallas=nn.use_pallas
@@ -237,3 +259,142 @@ def _approx_lml_nn(nn: NearestNeighbors, fx: FiniteGP, y: jax.Array, **_):
     ld = post.rep.logdet()
     n = y.shape[0]
     return -(ld + n * _LOG2PI + quadform) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# General (non-contiguous) neighbor sets: orderings + gather-indexed root
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class SparseInvRoot:
+    """Lazy ``inv(U Uᵀ)`` for a general sparse upper-triangular root given by
+    per-point predecessor indices — the gather/scatter generalization of
+    :class:`BandInvRoot` for non-contiguous conditioning sets.
+
+    ``nbr``: (N, k) ordering positions of each point's neighbors (−1 pad);
+    ``coeff``: (N, k) off-diagonal entries U[nbr[i,t], i];
+    ``diag``: (N,) diagonal U[i, i]."""
+
+    nbr: jax.Array
+    coeff: jax.Array
+    diag: jax.Array
+
+    def whiten(self, X: jax.Array) -> jax.Array:
+        """V = Uᵀ X: V[i] = diag[i]·X[i] + Σ_t coeff[i,t]·X[nbr[i,t]]."""
+        vec = X.ndim == 1
+        Xm = X[:, None] if vec else X
+        idxc = jnp.clip(self.nbr, 0, Xm.shape[0] - 1)
+        gathered = Xm[idxc]  # (N, k, P)
+        out = self.diag[:, None] * Xm + jnp.einsum(
+            "nt,ntp->np", self.coeff, gathered
+        )
+        return out[:, 0] if vec else out
+
+    def u_matvec(self, w: jax.Array) -> jax.Array:
+        """U w: (Uw)[j] = diag[j]·w[j] + Σ_{i,t: nbr[i,t]=j} coeff[i,t]·w[i]."""
+        N = w.shape[0]
+        idxc = jnp.clip(self.nbr, 0, N - 1)
+        contrib = self.coeff * w[:, None]  # (N, k); zero where padded
+        out = self.diag * w
+        return out.at[idxc.reshape(-1)].add(contrib.reshape(-1))
+
+    def logdet(self) -> jax.Array:
+        return -2.0 * jnp.sum(jnp.log(self.diag))
+
+
+def _require_concrete(x, what: str):
+    if isinstance(x, jax.core.Tracer):
+        raise ValueError(
+            f"{what} requires concrete (non-traced) inputs: the ordering / "
+            "neighbor search is host-side preprocessing. Compute the "
+            "posterior outside jit (downstream prediction/lml are jittable)."
+        )
+    return np.asarray(x)
+
+
+def resolve_ordering(x, ordering: str, key=None) -> np.ndarray:
+    """Host-side ordering resolution → an (N,) permutation (numpy)."""
+    Xp = as_points(x)
+    if ordering == "natural":
+        return np.arange(Xp.shape[0])
+    Xc = _require_concrete(Xp, f"ordering='{ordering}'")
+    if ordering == "maximin":
+        from ..native import maximin_ordering
+
+        return maximin_ordering(Xc)
+    if ordering == "random":
+        rng = np.random.default_rng(0 if key is None else int(key))
+        return rng.permutation(Xc.shape[0])
+    raise ValueError(f"unknown ordering: {ordering!r}")
+
+
+def approx_root_prec_sparse(
+    x: jax.Array, nbr, kern: Kernel, block_size=None
+) -> SparseInvRoot:
+    """Sparse precision root for ARBITRARY predecessor sets ``nbr`` (N, k)
+    (−1 padded): same one-factorization-per-point batched math as the banded
+    path, with gathers instead of contiguous windows."""
+    Xp = as_points(x)
+    N = Xp.shape[0]
+    dtype = Xp.dtype
+    nbr = jnp.asarray(nbr)
+    k = nbr.shape[1]
+    kern_diag = kern.diag(Xp)
+
+    def window(i):
+        idx = nbr[i]
+        mask = idx >= 0
+        idxc = jnp.clip(idx, 0, N - 1)
+        Xw = Xp[idxc]
+        xi = Xp[i][None, :]
+        Kw = kern.gram(Xw)
+        pair_mask = mask[:, None] & mask[None, :]
+        Kw = jnp.where(pair_mask, Kw, jnp.eye(k, dtype=dtype))
+        kni = jnp.where(mask, kern.gram(Xw, xi)[:, 0], 0.0)
+        return Kw, kni, kern_diag[i]
+
+    def rows(idx_block):
+        Kw, kni, kdiag = jax.vmap(window)(idx_block)
+        from ..ops.batched_chol import batched_chol_solve_band_unrolled
+
+        return batched_chol_solve_band_unrolled(Kw, kni, kdiag)
+
+    indices = jnp.arange(N)
+    if block_size is None or block_size >= N:
+        band = rows(indices)
+    else:
+        bs = block_size
+        pad = (-N) % bs
+        idx_pad = jnp.concatenate([indices, jnp.zeros(pad, dtype=indices.dtype)])
+        band = jax.lax.map(rows, idx_pad.reshape(-1, bs)).reshape(-1, k + 1)[:N]
+    return SparseInvRoot(nbr=nbr, coeff=band[:, :k], diag=band[:, k])
+
+
+def _posterior_nn_general(nn: NearestNeighbors, fx: FiniteGP, y: jax.Array):
+    """Ordering/neighbor-generalized posterior: reorder the data host-side,
+    build the gather-indexed root, return a PosteriorGP over the REORDERED
+    conditioning set (predictions are ordering-invariant)."""
+    from ..native import nearest_predecessor_neighbors
+
+    Xp = as_points(fx.x)
+    order = resolve_ordering(Xp, nn.ordering)
+    order_j = jnp.asarray(order)
+    Xo = Xp[order_j]
+    yo = y[order_j]
+
+    if nn.neighbors == "nearest":
+        Xc = _require_concrete(Xp, "neighbors='nearest'")
+        nbr = jnp.asarray(nearest_predecessor_neighbors(Xc, order, nn.k))
+    elif nn.neighbors == "previous":
+        idx = jnp.arange(Xo.shape[0])[:, None] - nn.k + jnp.arange(nn.k)[None, :]
+        nbr = jnp.where(idx >= 0, idx, -1)
+    else:
+        raise ValueError(f"unknown neighbors: {nn.neighbors!r}")
+
+    kern = fx.f.kernel
+    rep = approx_root_prec_sparse(Xo, nbr, kern, nn.block_size)
+    mean_o = fx.f.mean(Xo)
+    delta = yo - mean_o
+    alpha = rep.u_matvec(rep.whiten(delta))
+    return PosteriorGP(prior=fx.f, x=Xo, alpha=alpha, rep=rep, delta=delta)

