@@ -246,7 +246,9 @@ class PosteriorGP(AbstractGP):
     def var(self, xs):
         Kxs = self.prior.cov(self.x, xs)
         Vx = self.rep.whiten(Kxs)
-        return self.prior.var(xs) - linalg.diag_At_A(Vx)
+        # clamp: f32 cancellation AND approximate precisions (Vecchia) can
+        # push the diagonal slightly negative; a variance is never negative
+        return jnp.maximum(self.prior.var(xs) - linalg.diag_At_A(Vx), 0.0)
 
     def mean_and_cov(self, xs):
         Kxs = self.prior.cov(self.x, xs)
@@ -258,7 +260,7 @@ class PosteriorGP(AbstractGP):
         Kxs = self.prior.cov(self.x, xs)
         mu = self.prior.mean(xs) + Kxs.T @ self.alpha
         Vx = self.rep.whiten(Kxs)
-        return mu, self.prior.var(xs) - linalg.diag_At_A(Vx)
+        return mu, jnp.maximum(self.prior.var(xs) - linalg.diag_At_A(Vx), 0.0)
 
 
 def posterior(fx: FiniteGP, y: jax.Array) -> PosteriorGP:

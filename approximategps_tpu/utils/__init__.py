@@ -18,3 +18,11 @@ from .training import (
 )
 from .profiling import StepTimer, named_scope, time_fn, trace
 from .data import epoch_batches, minibatch_iterator
+from .priors import (
+    gamma_prior,
+    halfnormal_prior,
+    log_prior,
+    lognormal_prior,
+    map_objective,
+    normal_prior,
+)

@@ -205,7 +205,7 @@ def full_streaming(M=2048, N=1 << 20, D=8, block=16384, iters=3):
     y = jnp.sin(x[:, 0])
     params = _svgp_params(M, D, key, dtype)
 
-    def loss(params):
+    def loss(params, x, y):
         kernel = softplus(params["k"][0]) * agp.with_lengthscale(
             agp.SqExponentialKernel(), softplus(params["k"][1])
         )
@@ -217,17 +217,19 @@ def full_streaming(M=2048, N=1 << 20, D=8, block=16384, iters=3):
         return -streaming_elbo(sva, lik, x, y, block_size=block)
 
     def make_run(n):
+        # data passed as jit ARGUMENTS: baking a 320 MB (N=1e7) constant
+        # into the graph overflows the remote compile helper's payload limit
         @jax.jit
-        def run():
+        def run(x, y):
             def body(p, _):
-                val, grads = jax.value_and_grad(loss)(p)
+                val, grads = jax.value_and_grad(loss)(p, x, y)
                 p = jax.tree_util.tree_map(lambda a, g: a - 1e-9 * g, p, grads)
                 return p, val
 
             p, vals = jax.lax.scan(body, params, None, length=n)
             return vals[-1] + jnp.sum(p["m"]) * 0.0
 
-        return run
+        return lambda: run(x, y)
 
     return chained_step_ms(make_run, iters=iters)
 

@@ -1,0 +1,90 @@
+#!/usr/bin/env bash
+# CI entry: full test suite (CPU f64 oracle mode, 8 virtual devices), the
+# driver entry checks, the TPU f32 integration check (skipped when no TPU
+# backend is reachable), and a headline bench snapshot diffed against the
+# recorded BENCH_NOTES number.
+#
+# Usage: scripts/ci.sh [--no-tpu] [--no-bench]
+# Mirrors the reference's CI.yml + Buildkite two-tier setup
+# (/root/reference/.github/workflows/CI.yml:49-50, .buildkite/pipeline.yml):
+# CPU correctness tier always runs; the accelerator tier is optional.
+
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+RUN_TPU=1
+RUN_BENCH=1
+for arg in "$@"; do
+  case "$arg" in
+    --no-tpu) RUN_TPU=0 ;;
+    --no-bench) RUN_BENCH=0 ;;
+    *) echo "unknown arg: $arg" >&2; exit 2 ;;
+  esac
+done
+
+echo "=== [1/4] pytest (CPU f64, 8 virtual devices) ==="
+python -m pytest tests/ -q
+
+echo "=== [2/4] driver entry checks ==="
+python - <<'EOF'
+import jax
+import __graft_entry__ as g
+fn, args = g.entry()
+val = float(jax.jit(fn)(*args))
+assert val == val, "entry() returned NaN"
+print(f"entry() ok: {val:.3f}")
+EOF
+python - <<'EOF'
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print("dryrun_multichip(8) ok")
+EOF
+
+have_tpu=$(python - <<'EOF'
+import jax
+try:
+    print(1 if jax.default_backend() == "tpu" else 0)
+except Exception:
+    print(0)
+EOF
+)
+
+if [[ "$RUN_TPU" == 1 && "$have_tpu" == 1 ]]; then
+  echo "=== [3/4] TPU f32 integration check ==="
+  python scripts/tpu_check.py
+else
+  echo "=== [3/4] TPU check skipped (no TPU backend or --no-tpu) ==="
+fi
+
+if [[ "$RUN_BENCH" == 1 && "$have_tpu" == 1 ]]; then
+  echo "=== [4/4] headline bench vs recorded snapshot ==="
+  python - <<'EOF'
+import json, re, subprocess, sys
+
+out = subprocess.run([sys.executable, "bench.py"], capture_output=True, text=True, check=True)
+line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+res = json.loads(line)
+print(line)
+
+recorded = None
+try:
+    txt = open("BENCH_NOTES.md").read()
+    m = re.search(r"ci-headline-ms:\s*([0-9]+\.[0-9]+)", txt)
+    if m:
+        recorded = float(m.group(1))
+except FileNotFoundError:
+    pass
+
+if recorded is not None:
+    ratio = res["value"] / recorded
+    print(f"recorded {recorded} ms -> measured {res['value']} ms (x{ratio:.2f})")
+    # fail CI on a >40% regression (tunnel variance measured ~ +-5%)
+    assert ratio < 1.4, f"headline regressed {ratio:.2f}x vs BENCH_NOTES"
+else:
+    print("no recorded headline in BENCH_NOTES.md; snapshot only")
+EOF
+else
+  echo "=== [4/4] bench skipped (no TPU backend or --no-bench) ==="
+fi
+
+echo "CI OK"

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import approximategps_tpu as agp
+from approximategps_tpu import test_utils as tu
 from approximategps_tpu.config import config_context
 from approximategps_tpu.ops.gram import pallas_stationary_gram
 from approximategps_tpu.utils import bijectors as bj
@@ -185,3 +186,75 @@ def test_lbfgs_fit_on_device(key):
     )
     np.testing.assert_allclose(params["x"], np.linalg.solve(np.asarray(Q), b), atol=1e-6)
     assert n < 100
+
+
+# ---------------------------------------------------------------------------
+# hyperpriors / MAP objective
+# ---------------------------------------------------------------------------
+
+
+def test_priors_match_scipy():
+    from scipy import stats
+
+    from approximategps_tpu.utils import priors as P
+
+    theta = jnp.array([0.3, 1.7, 2.4])
+    np.testing.assert_allclose(
+        P.normal_prior(0.5, 2.0)(theta), stats.norm.logpdf(theta, 0.5, 2.0).sum(), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        P.lognormal_prior(0.1, 0.9)(theta),
+        stats.lognorm.logpdf(theta, 0.9, scale=np.exp(0.1)).sum(), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        P.gamma_prior(2.0, 3.0)(theta),
+        stats.gamma.logpdf(theta, 2.0, scale=1.0 / 3.0).sum(), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        P.halfnormal_prior(1.5)(theta), stats.halfnorm.logpdf(theta, scale=1.5).sum(), rtol=1e-12
+    )
+
+
+def test_map_objective_jacobian_correction():
+    """The softplus log-Jacobian makes the unconstrained-space density
+    integrate correctly: a MAP objective with a sharp prior pulls the
+    optimum toward the prior mode."""
+    from approximategps_tpu.utils import priors as P
+    from approximategps_tpu.utils.bijectors import invsoftplus, softplus
+
+    X, Y = tu.generate_data()
+    import approximategps_tpu.models.laplace as L
+
+    obj = L.build_laplace_objective(tu.build_latent_gp, X, Y, newton_tol=1e-10)
+
+    def neg_lml(raw):
+        return obj(jnp.stack([raw["var"], raw["ls"]]))
+
+    # tight prior on the lengthscale around 1.0
+    map_obj = P.map_objective(neg_lml, {"ls": P.lognormal_prior(0.0, 0.05)})
+
+    import scipy.optimize
+
+    def minimize(fn):
+        flat0 = np.array([2.0, 2.0])
+        r = scipy.optimize.minimize(
+            lambda t: float(fn({"var": jnp.asarray(t[0]), "ls": jnp.asarray(t[1])})),
+            flat0, method="Nelder-Mead", options={"maxiter": 150},
+        )
+        return np.asarray(r.x)
+
+    t_ml = minimize(neg_lml)
+    t_map = minimize(map_obj)
+    ls_ml, ls_map = float(softplus(t_ml[1])), float(softplus(t_map[1]))
+    # the MAP lengthscale must sit much closer to the prior mode exp(0)=1
+    assert abs(np.log(ls_map)) < 0.25, ls_map
+    assert abs(np.log(ls_map)) < abs(np.log(ls_ml)), (ls_ml, ls_map)
+
+
+def test_log_prior_gradients_finite():
+    from approximategps_tpu.utils import priors as P
+
+    raw = {"var": jnp.asarray(0.3), "ls": jnp.asarray(-0.2)}
+    lp = lambda r: P.log_prior(r, {"var": P.gamma_prior(2.0, 1.0), "ls": P.lognormal_prior()})
+    g = jax.grad(lp)(raw)
+    assert np.isfinite(float(g["var"])) and np.isfinite(float(g["ls"]))

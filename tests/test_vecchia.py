@@ -287,3 +287,16 @@ def test_native_ordering_matches_numpy_fallback(key):
     assert (o1 == o2).all()
     assert (n1 == n2).all()
     assert sorted(o1.tolist()) == list(range(300))
+
+
+def test_posterior_var_clamped_nonnegative(key):
+    """Approximate precisions can make the raw predictive variance negative
+    (the quadform can exceed the prior variance — a property shared with the
+    reference's formulation); the user-facing var is clamped at 0."""
+    x = jax.random.normal(key, (500, 2)) * 10.0
+    f = agp.GP(1.2 * agp.with_lengthscale(agp.Matern32Kernel(), 1.0))
+    y = jnp.sin(x[:, 0])
+    post = agp.posterior(agp.NearestNeighbors(k=8), f(x, 0.0), y)
+    mu, var = post.mean_and_var(x[:9] + 0.01)
+    assert bool((var >= 0.0).all()), np.asarray(var)
+    assert bool((post.var(x[:9] + 0.01) >= 0.0).all())
