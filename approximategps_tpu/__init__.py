@@ -72,6 +72,10 @@ from .core import (
     with_lengthscale,
 )
 from .models import (
+    HeteroscedasticGaussianLikelihood,
+    MultiLatentSVGP,
+    SoftmaxLikelihood,
+    multi_latent_elbo,
     SVGP,
     VFE,
     cg_solve,

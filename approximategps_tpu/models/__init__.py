@@ -1,4 +1,4 @@
-from . import api, iterative, laplace, sampling, svgp, svgp_streaming, vecchia, vfe
+from . import api, iterative, laplace, multi_latent, sampling, svgp, svgp_streaming, vecchia, vfe
 from .iterative import cg_solve, logpdf_slq, posterior_cg
 from .sampling import rff_features, sample_svgp_functions
 from .svgp_streaming import dp_streaming_elbo, streaming_elbo
@@ -35,3 +35,9 @@ from .vecchia import (
     resolve_ordering,
 )
 from .vfe import VFE, optimal_variational_posterior, vfe_elbo
+from .multi_latent import (
+    HeteroscedasticGaussianLikelihood,
+    MultiLatentSVGP,
+    SoftmaxLikelihood,
+    multi_latent_elbo,
+)
