@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..core.gp import FiniteGP
 from ..core.kernels import as_points
 
-__all__ = ["cg_solve", "kernel_matvec", "posterior_cg", "logpdf_slq", "CGPosterior"]
+__all__ = ["cg_solve", "kernel_matvec", "posterior_cg", "logpdf_slq", "CGPosterior", "pivoted_cholesky", "woodbury_preconditioner"]
 
 
 def cg_solve(
@@ -35,6 +35,7 @@ def cg_solve(
     tol: float = 1e-6,
     maxiter: int = 1000,
     M_inv: Callable[[jax.Array], jax.Array] | None = None,
+    return_info: bool = False,
 ) -> jax.Array:
     """Solve A X = B for SPD A given only ``matvec(V) = A @ V``.
 
@@ -73,7 +74,67 @@ def cg_solve(
         return X, R, P, rz_new, i + 1
 
     X, R, P, rz, i = jax.lax.while_loop(cond, body, (X0, R0, P0, rz0, jnp.int32(0)))
+    if return_info:
+        return (X[:, 0] if vec else X), i
     return X[:, 0] if vec else X
+
+
+def pivoted_cholesky(kernel, x: jax.Array, rank: int) -> jax.Array:
+    """Rank-``rank`` pivoted (partial) Cholesky of K(x, x): returns L with
+    L Lᵀ ≈ K, pivoting greedily on the largest residual diagonal (Harbrecht
+    et al. 2012; the GPyTorch preconditioner construction, PAPERS.md
+    Gardner et al. 2018 §3.2).  Only ``rank`` kernel ROWS are evaluated —
+    O(rank·N) time/memory, K never materialized."""
+    X = as_points(x)
+    N = X.shape[0]
+    d0 = kernel.diag(X)
+    dtype = d0.dtype
+
+    def body(j, carry):
+        L, d = carry
+        i = jnp.argmax(d)
+        di = d[i]
+        # guard: residual diagonal can hit ~0 before `rank` columns
+        safe = jnp.maximum(di, jnp.finfo(dtype).tiny)
+        xi = jax.lax.dynamic_slice_in_dim(X, i, 1, axis=0)  # (1, D)
+        row = kernel.gram(X, xi)[:, 0]  # K[:, i]
+        # full precision: f32 residual cancellation otherwise degrades the
+        # factor enough to stall preconditioned CG (skinny matmul — cheap)
+        corr = jnp.matmul(L, L[i], precision="highest")
+        col = jnp.where(di > 0, (row - corr) / jnp.sqrt(safe), 0.0)
+        L = L.at[:, j].set(col)
+        d = jnp.maximum(d - col * col, 0.0)
+        d = d.at[i].set(0.0)
+        return L, d
+
+    L0 = jnp.zeros((N, rank), dtype=dtype)
+    L, _ = jax.lax.fori_loop(0, rank, body, (L0, d0))
+    return L
+
+
+def woodbury_preconditioner(Lk: jax.Array, noise) -> Callable:
+    """P⁻¹ application for P = Lk Lkᵀ + σ²I via Woodbury:
+    P⁻¹ = σ⁻²(I − Lk (σ²I_r + LkᵀLk)⁻¹ Lkᵀ) — an O(N·r) matmul pair per
+    apply after one r×r factorization."""
+    noise = jnp.asarray(noise)
+    sigma2 = noise if noise.ndim == 0 else None
+    if sigma2 is None:
+        raise ValueError("woodbury_preconditioner requires isotropic noise")
+    r = Lk.shape[1]
+    cap = sigma2 * jnp.eye(r, dtype=Lk.dtype) + jnp.matmul(
+        Lk.T, Lk, precision="highest"
+    )
+    cap_L = jnp.linalg.cholesky(cap)
+
+    def apply(Rv):
+        # full precision: bf16 passes here break PCG search-direction
+        # conjugacy in f32 (measured: stagnation at N=20k); the (N, r)
+        # matmuls are cheap relative to the N x N matvec
+        t = jnp.matmul(Lk.T, Rv, precision="highest")  # (r, R)
+        s = jax.scipy.linalg.cho_solve((cap_L, True), t)
+        return (Rv - jnp.matmul(Lk, s, precision="highest")) / sigma2
+
+    return apply
 
 
 def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None):
@@ -125,15 +186,23 @@ class CGPosterior:
     """Exact posterior with CG solves (mean exact to tol; variance via
     batched CG against K(x, x*) columns)."""
 
-    def __init__(self, fx: FiniteGP, y, tol=1e-6, maxiter=1000, block_size=None):
+    def __init__(self, fx: FiniteGP, y, tol=1e-6, maxiter=1000, block_size=None,
+                 precond_rank: int = 0):
         self.fx = fx
         self.prior = fx.f
         self.x = as_points(fx.x)
         self._matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
         self._tol = tol
         self._maxiter = maxiter
+        # pivoted-Cholesky/Woodbury preconditioner (GPyTorch-style);
+        # precond_rank=0 disables
+        if precond_rank > 0:
+            Lk = pivoted_cholesky(fx.f.kernel, fx.x, precond_rank)
+            self._M_inv = woodbury_preconditioner(Lk, fx.noise)
+        else:
+            self._M_inv = None
         delta = y - fx.mean()
-        self.alpha = cg_solve(self._matvec, delta, tol, maxiter)
+        self.alpha = cg_solve(self._matvec, delta, tol, maxiter, M_inv=self._M_inv)
         self.delta = delta
 
     def mean(self, xs):
@@ -142,7 +211,7 @@ class CGPosterior:
 
     def _solved_cross(self, xs):
         Kxs = self.prior.cov(self.x, xs)  # (N, N*)
-        V = cg_solve(self._matvec, Kxs, self._tol, self._maxiter)
+        V = cg_solve(self._matvec, Kxs, self._tol, self._maxiter, M_inv=self._M_inv)
         return Kxs, V
 
     def cov(self, xs, zs=None):
@@ -168,9 +237,15 @@ class CGPosterior:
         return mu, self.prior.cov(xs) - Kxs.T @ V
 
 
-def posterior_cg(fx: FiniteGP, y, tol=1e-8, maxiter=1000, block_size=None):
-    """Exact GP regression posterior via conjugate gradients."""
-    return CGPosterior(fx, y, tol=tol, maxiter=maxiter, block_size=block_size)
+def posterior_cg(fx: FiniteGP, y, tol=1e-8, maxiter=1000, block_size=None,
+                 precond_rank: int = 0):
+    """Exact GP regression posterior via conjugate gradients.
+
+    ``precond_rank > 0`` enables the pivoted-Cholesky/Woodbury
+    preconditioner (Gardner et al. 2018 §3.2) — cuts CG iterations
+    substantially for ill-conditioned K at O(rank·N) setup cost."""
+    return CGPosterior(fx, y, tol=tol, maxiter=maxiter, block_size=block_size,
+                       precond_rank=precond_rank)
 
 
 def _lanczos(matvec, v0, num_iters):

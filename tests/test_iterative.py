@@ -72,3 +72,64 @@ def test_slq_logpdf_approximates_exact(key):
     )
     # SLQ is stochastic in the logdet; with 64 probes expect ~ few % of logdet
     assert abs(approx - exact) / abs(exact) < 0.05, (approx, exact)
+
+
+def test_pivoted_cholesky_approximates_k(key):
+    """Rank-r pivoted Cholesky: LLᵀ ≈ K with error below the (r+1)-th
+    eigenvalue tail; full rank reproduces K exactly."""
+    from approximategps_tpu.models.iterative import pivoted_cholesky
+
+    x = jnp.sort(jax.random.uniform(key, (60,))) * 10
+    kern = 1.5 * agp.with_lengthscale(agp.SqExponentialKernel(), 1.2)
+    K = kern.gram(x)
+    L20 = pivoted_cholesky(kern, x, 20)
+    err20 = float(jnp.abs(L20 @ L20.T - K).max())
+    evals = np.linalg.eigvalsh(np.asarray(K))[::-1]
+    # max-norm error tracks the eigenvalue tail up to a small factor
+    assert err20 < 10 * max(float(evals[20:].sum()), 1e-10) + 1e-8, err20
+    Lfull = pivoted_cholesky(kern, x, 60)
+    np.testing.assert_allclose(Lfull @ Lfull.T, K, atol=1e-8)
+
+
+def test_preconditioner_cuts_cg_iterations(key):
+    """Woodbury/pivoted-Cholesky preconditioning must reduce CG iterations
+    substantially on an ill-conditioned smooth-kernel system, with the same
+    solution."""
+    from approximategps_tpu.models.iterative import (
+        cg_solve,
+        kernel_matvec,
+        pivoted_cholesky,
+        woodbury_preconditioner,
+    )
+
+    N = 400
+    x = jnp.sort(jax.random.uniform(key, (N,))) * 4.0  # dense → ill-conditioned
+    kern = 2.0 * agp.with_lengthscale(agp.SqExponentialKernel(), 1.0)
+    noise = 1e-3
+    mv = kernel_matvec(kern, x, noise)
+    b = jnp.sin(x * 3)
+
+    sol_plain, it_plain = cg_solve(mv, b, tol=1e-8, maxiter=2000, return_info=True)
+    Lk = pivoted_cholesky(kern, x, 30)
+    M_inv = woodbury_preconditioner(Lk, noise)
+    sol_pre, it_pre = cg_solve(mv, b, tol=1e-8, maxiter=2000, M_inv=M_inv, return_info=True)
+
+    K = kern.gram(x) + noise * jnp.eye(N)
+    truth = jnp.linalg.solve(K, b)
+    np.testing.assert_allclose(sol_pre, truth, rtol=1e-4, atol=1e-6)
+    assert int(it_pre) < 0.35 * int(it_plain), (int(it_pre), int(it_plain))
+
+
+def test_posterior_cg_preconditioned_matches_dense(key):
+    """posterior_cg(precond_rank=20) == dense exact posterior."""
+    from approximategps_tpu.models.iterative import posterior_cg
+
+    x = jnp.sort(jax.random.uniform(key, (150,))) * 8
+    f = agp.GP(1.3 * agp.with_lengthscale(agp.Matern52Kernel(), 0.9))
+    fx = f(x, 0.01)
+    y = jnp.sin(x) + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (150,))
+    dense = agp.posterior(fx, y)
+    cg = posterior_cg(fx, y, tol=1e-10, precond_rank=20)
+    xs = jnp.linspace(0, 8, 25)
+    np.testing.assert_allclose(cg.mean(xs), dense.mean(xs), atol=1e-6)
+    np.testing.assert_allclose(cg.var(xs), dense.var(xs), atol=1e-6)
