@@ -72,6 +72,7 @@ from .core import (
     with_lengthscale,
 )
 from .models import (
+    BlockNearestNeighbors,
     HeteroscedasticGaussianLikelihood,
     MultiLatentSVGP,
     SoftmaxLikelihood,

@@ -1,4 +1,4 @@
-from . import api, iterative, laplace, multi_latent, sampling, svgp, svgp_streaming, vecchia, vfe
+from . import api, block_vecchia, iterative, laplace, multi_latent, sampling, svgp, svgp_streaming, vecchia, vfe
 from .iterative import cg_solve, logpdf_slq, posterior_cg
 from .sampling import rff_features, sample_svgp_functions
 from .svgp_streaming import dp_streaming_elbo, streaming_elbo
@@ -41,3 +41,4 @@ from .multi_latent import (
     SoftmaxLikelihood,
     multi_latent_elbo,
 )
+from .block_vecchia import BlockInvRoot, BlockNearestNeighbors

@@ -1,0 +1,104 @@
+"""Block-Vecchia tests: scalar-equivalence, exactness limits, accuracy
+ordering, gradients, oracle cross-check."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import approximategps_tpu as agp
+
+
+def _setup(key, N=64, D=1, scale=100.0):
+    x = jnp.sort(jax.random.uniform(key, (N,)))[:, None] * scale if D == 1 else (
+        jax.random.normal(key, (N, D)) * 2.0
+    )
+    f = agp.GP(1.4 * agp.with_lengthscale(agp.SqExponentialKernel(), 1.1))
+    y = f(x, 1e-8).sample(jax.random.fold_in(key, 9))
+    return f, x, y
+
+
+def test_block_size_one_equals_scalar_vecchia(key):
+    f, x, y = _setup(key, N=48)
+    lml_scalar = float(agp.approx_lml(agp.NearestNeighbors(k=6), f(x, 0.0), y))
+    lml_block = float(
+        agp.approx_lml(agp.BlockNearestNeighbors(block_size=1, k=6), f(x, 0.0), y)
+    )
+    np.testing.assert_allclose(lml_block, lml_scalar, rtol=1e-9)
+
+
+def test_full_conditioning_equals_exact(key):
+    """k covering all predecessors + any block size → the exact (noiseless)
+    logpdf and the exact posterior; also equals the scalar k=N−1 Vecchia."""
+    f, x, y = _setup(key, N=48)
+    exact = float(f(x, 0.0).logpdf(y))  # well-conditioned at this spacing
+    scalar_full = float(agp.approx_lml(agp.NearestNeighbors(k=47), f(x, 0.0), y))
+    for b in (4, 8, 16):
+        nn = agp.BlockNearestNeighbors(block_size=b, k=48)
+        lml = float(agp.approx_lml(nn, f(x, 0.0), y))
+        np.testing.assert_allclose(lml, exact, rtol=1e-7, err_msg=f"b={b}")
+        np.testing.assert_allclose(lml, scalar_full, rtol=1e-7)
+    post = agp.posterior(agp.BlockNearestNeighbors(block_size=8, k=48), f(x, 0.0), y)
+    gpr = agp.posterior(f(x, 1e-12), y)
+    xs = jnp.linspace(0, 100, 9)[:, None]
+    np.testing.assert_allclose(post.mean(xs), gpr.mean(xs), atol=1e-6)
+    np.testing.assert_allclose(post.var(xs), gpr.var(xs), atol=1e-6)
+
+
+def test_blocks_improve_over_scalar_at_equal_k(key):
+    """Blocks strictly enlarge every point's conditioning set versus scalar
+    previous-k (point i in block B sees {block_start−k..i−1} ⊇ {i−k..i−1}),
+    so KL(p ‖ p̂) must not increase (Guinness 2018 monotonicity).  Estimate
+    the KLs by averaging log p_exact − log p̂ over sample draws."""
+    key1, key2 = jax.random.split(jax.random.PRNGKey(123456))
+    N = 96
+    # spacing ~2 lengthscales: the NOISELESS gram is well-conditioned, so
+    # the exact noiseless logpdf (the KL anchor) is numerically meaningful
+    x = jnp.sort(jax.random.uniform(key1, (N,)))[:, None] * 200.0
+    f = agp.GP(1.4 * agp.with_lengthscale(agp.SqExponentialKernel(), 1.1))
+    fx = f(x, 0.0)
+    ys = jax.vmap(lambda k: f(x, 1e-10).sample(k))(jax.random.split(key2, 48))
+    exact = jax.vmap(lambda y: fx.logpdf(y))(ys)
+    lml_s = jax.vmap(lambda y: agp.approx_lml(agp.NearestNeighbors(k=4), fx, y))(ys)
+    lml_b = jax.vmap(
+        lambda y: agp.approx_lml(agp.BlockNearestNeighbors(block_size=4, k=4), fx, y)
+    )(ys)
+    kl_scalar = float(jnp.mean(exact - lml_s))
+    kl_block = float(jnp.mean(exact - lml_b))
+    assert kl_scalar > 0 and kl_block > 0, (kl_scalar, kl_block)
+    assert kl_block < kl_scalar, (kl_block, kl_scalar)
+
+
+def test_block_nearest_with_maximin_on_2d(key):
+    f, x, y = _setup(key, N=120, D=2)
+    fx = f(x, 1e-8)
+    exact = float(fx.logpdf(y))
+    nn = agp.BlockNearestNeighbors(block_size=8, k=24, ordering="maximin", neighbors="nearest")
+    lml = float(agp.approx_lml(nn, f(x, 0.0), y))
+    err = abs(lml - exact)
+    nn_prev = agp.BlockNearestNeighbors(block_size=8, k=24)
+    err_prev = abs(float(agp.approx_lml(nn_prev, f(x, 0.0), y)) - exact)
+    assert np.isfinite(lml)
+    assert err < err_prev, (err, err_prev)
+
+
+def test_block_vecchia_gradients(key):
+    f, x, y = _setup(key, N=64)
+
+    def lml(ls):
+        kern = 1.4 * agp.with_lengthscale(agp.SqExponentialKernel(), ls)
+        return agp.approx_lml(
+            agp.BlockNearestNeighbors(block_size=8, k=8), agp.GP(kern)(x, 0.0), y
+        )
+
+    g = jax.grad(lml)(1.1)
+    import scipy.optimize
+
+    fd = (lml(1.1 + 1e-5) - lml(1.1 - 1e-5)) / 2e-5
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
+
+
+def test_block_size_must_divide_n(key):
+    f, x, y = _setup(key, N=50)
+    with pytest.raises(ValueError, match="must divide"):
+        agp.approx_lml(agp.BlockNearestNeighbors(block_size=8, k=4), f(x, 0.0), y)
