@@ -26,10 +26,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..config import config
 
-__all__ = ["batched_chol_solve_band", "batched_chol_solve_band_unrolled", "masked_chol_solve_band_math", "masked_chol_solve_band_math_lane", "pallas_vecchia_band"]
+__all__ = [
+    "batched_chol_solve_band",
+    "batched_chol_solve_band_unrolled",
+    "masked_chol_solve_band_math",
+    "masked_chol_solve_band_math_lane",
+    "pallas_vecchia_band",
+    "pallas_vecchia_band_lanes",
+]
 
 
 def masked_chol_solve_band_math(A, c, kdiag, unroll: bool = True):
@@ -66,7 +74,8 @@ def masked_chol_solve_band_math(A, c, kdiag, unroll: bool = True):
         return jax.lax.fori_loop(lo, hi, body, init)
 
     # --- Cholesky (masked-column) ---
-    def chol_step(j, L):
+    def chol_step(j, carry):
+        L, defl = carry
         lj = jnp.sum(L * onehot(j)[:, :, None], axis=1)  # (Bt, k_t): L[:, j, :]
         mask_t = (t_row < j).astype(A.dtype)  # (1, k)
         # s_i = Σ_{t<j} L[i,t]·L[j,t]
@@ -74,20 +83,31 @@ def masked_chol_solve_band_math(A, c, kdiag, unroll: bool = True):
         # d = A[j,j] − s[j], extracted with one-hot lane reductions
         Aj = jnp.sum(A * onehot(j)[:, :, None], axis=1)  # (Bt, k): A[:, j, :]
         Ajj = jnp.sum(Aj * onehot(j), axis=1)
-        d = Ajj - jnp.sum(s * onehot(j), axis=1)
+        d_raw = Ajj - jnp.sum(s * onehot(j), axis=1)
         # pivot floor: near-singular neighbor Grams (densely-spaced points)
         # cancel below working precision — clamp relative to the diagonal
-        d = jnp.maximum(d, 8.0 * jnp.finfo(A.dtype).eps * jnp.abs(Ajj))
+        fl = 8.0 * jnp.finfo(A.dtype).eps * jnp.abs(Ajj)
+        d = jnp.maximum(d_raw, fl)
+        # modified-Cholesky deflation: a floored pivot means the column is
+        # numerically dependent on its predecessors — zero its off-diagonal
+        # entries, otherwise rsqrt(floor)-scaled columns compound through the
+        # later steps and overflow f32 (Inf − Inf → NaN)
+        notc = (d_raw >= fl).astype(A.dtype)
         inv_ljj = jax.lax.rsqrt(d)
         Acol = jnp.sum(A * onehot(j)[:, None, :], axis=2)  # (Bt, k_i): A[:, :, j]
-        col = (Acol - s) * inv_ljj[:, None]  # (Bt, k_i)
+        col = (Acol - s) * (inv_ljj * notc)[:, None]  # (Bt, k_i)
         i_gt_j = (t_row > j).astype(A.dtype)  # (1, k) over i
         new_col = col * i_gt_j + onehot(j) * (1.0 / inv_ljj)[:, None]
-        return L + new_col[:, :, None] * onehot(j)[:, None, :]
+        L = L + new_col[:, :, None] * onehot(j)[:, None, :]
+        defl = defl + onehot(j) * (1.0 - notc)[:, None]
+        return L, defl
 
-    L = loop(0, k, chol_step, jnp.zeros_like(A))
+    L, defl = loop(0, k, chol_step, (jnp.zeros_like(A), jnp.zeros_like(c)))
+    live = 1.0 - defl  # (Bt, k): 0 on deflated (dependent) coordinates
     Ldiag = jnp.sum(L * jnp.eye(k, dtype=A.dtype)[None, :, :], axis=2)  # (Bt, k)
 
+    # deflated coordinates carry no information: their w/b entries are
+    # forced to 0 instead of dividing by the floored pivot
     # --- forward solve w = L⁻¹ c ---
     def fwd_step(i, w):
         mask_t = (t_row < i).astype(A.dtype)
@@ -95,7 +115,8 @@ def masked_chol_solve_band_math(A, c, kdiag, unroll: bool = True):
         s = jnp.sum(Li * w * mask_t, axis=1)  # (Bt,)
         ci = jnp.sum(c * onehot(i), axis=1)
         di = jnp.sum(Ldiag * onehot(i), axis=1)
-        return w + onehot(i) * ((ci - s) / di)[:, None]
+        li = jnp.sum(live * onehot(i), axis=1)
+        return w + onehot(i) * (li * (ci - s) / di)[:, None]
 
     w = loop(0, k, fwd_step, jnp.zeros_like(c))
 
@@ -106,7 +127,8 @@ def masked_chol_solve_band_math(A, c, kdiag, unroll: bool = True):
         s = jnp.sum(Lcol_i * b * mask_t, axis=1)  # (Bt,)
         wi = jnp.sum(w * onehot(i), axis=1)
         di = jnp.sum(Ldiag * onehot(i), axis=1)
-        return b + onehot(i) * ((wi - s) / di)[:, None]
+        li = jnp.sum(live * onehot(i), axis=1)
+        return b + onehot(i) * (li * (wi - s) / di)[:, None]
 
     b = loop(0, k, bwd_step, jnp.zeros_like(c), reverse=True)
 
@@ -137,7 +159,7 @@ def masked_chol_solve_band_math_lane(A, c, kdiag):
         return (t_row == j).astype(A.dtype)
 
     def chol_step(j, carry):
-        L, LT = carry
+        L, LT, defl = carry
         oh = onehot(j)
         # row j of L = column j of LT  (lane reduction)
         lj = jnp.sum(LT * oh[:, None, :], axis=2)  # (Bt, k)
@@ -146,19 +168,24 @@ def masked_chol_solve_band_math_lane(A, c, kdiag):
         # A is symmetric: row j == column j
         Aj = jnp.sum(A * oh[:, None, :], axis=2)  # (Bt, k)
         Ajj = jnp.sum(Aj * oh, axis=1)
-        d = Ajj - jnp.sum(s * oh, axis=1)
-        d = jnp.maximum(d, 8.0 * jnp.finfo(A.dtype).eps * jnp.abs(Ajj))
+        d_raw = Ajj - jnp.sum(s * oh, axis=1)
+        fl = 8.0 * jnp.finfo(A.dtype).eps * jnp.abs(Ajj)
+        d = jnp.maximum(d_raw, fl)
+        notc = (d_raw >= fl).astype(A.dtype)  # deflate floored pivots
         inv_ljj = jax.lax.rsqrt(d)
-        col = (Aj - s) * inv_ljj[:, None]
+        col = (Aj - s) * (inv_ljj * notc)[:, None]
         i_gt_j = (t_row > j).astype(A.dtype)
         new_col = col * i_gt_j + oh * (1.0 / inv_ljj)[:, None]  # (Bt, k_i)
         L = L + new_col[:, :, None] * oh[:, None, :]
         LT = LT + oh[:, :, None] * new_col[:, None, :]
-        return L, LT
+        defl = defl + oh * (1.0 - notc)[:, None]
+        return L, LT, defl
 
-    L, LT = jax.lax.fori_loop(
-        0, k, chol_step, (jnp.zeros_like(A), jnp.zeros_like(A))
+    L, LT, defl = jax.lax.fori_loop(
+        0, k, chol_step,
+        (jnp.zeros_like(A), jnp.zeros_like(A), jnp.zeros_like(c)),
     )
+    live = 1.0 - defl
     Ldiag = jnp.sum(L * jnp.eye(k, dtype=A.dtype)[None, :, :], axis=2)
 
     def fwd_step(i, w):
@@ -168,7 +195,8 @@ def masked_chol_solve_band_math_lane(A, c, kdiag):
         s = jnp.sum(Li * w * mask_t, axis=1)
         ci = jnp.sum(c * oh, axis=1)
         di = jnp.sum(Ldiag * oh, axis=1)
-        return w + oh * ((ci - s) / di)[:, None]
+        li = jnp.sum(live * oh, axis=1)
+        return w + oh * (li * (ci - s) / di)[:, None]
 
     w = jax.lax.fori_loop(0, k, fwd_step, jnp.zeros_like(c))
 
@@ -180,7 +208,8 @@ def masked_chol_solve_band_math_lane(A, c, kdiag):
         s = jnp.sum(Lcol_i * b * mask_t, axis=1)
         wi = jnp.sum(w * oh, axis=1)
         di = jnp.sum(Ldiag * oh, axis=1)
-        return b + oh * ((wi - s) / di)[:, None]
+        li = jnp.sum(live * oh, axis=1)
+        return b + oh * (li * (wi - s) / di)[:, None]
 
     b = jax.lax.fori_loop(0, k, bwd_step, jnp.zeros_like(c))
 
@@ -470,3 +499,186 @@ def _vecchia_band_bwd(k_of_r2, block, unroll, bwd_chunk, residuals, gbar):
 
 
 pallas_vecchia_band.defvjp(_vecchia_band_fwd, _vecchia_band_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Batch-on-lanes layout (v2): the batch rides the minormost 128-lane axis at
+# 100% occupancy; k lives on sublanes.  The first-generation kernel above
+# keeps k on lanes, so k=32 uses a quarter of every vector op and its rank-3
+# temporaries lane-pad k→128 (4× VMEM + 4× VPU waste) — measured 6.3 s vs
+# 0.87 s XLA at N=1e6/k=32.  Here every rank-1 Schur update is a full-width
+# rank-3 elementwise broadcast, every extraction is a leading-axis dynamic
+# slice or a sublane one-hot reduction, and the conditional variance falls
+# out of the last pivot of a single bordered (k+1)-Cholesky (no separate
+# forward solve).
+# ---------------------------------------------------------------------------
+
+
+def _vecchia_band_kernel_lanes(
+    xw_ref, validp_ref, out_ref, ares_ref, lst_ref, *, k_of_r2
+):
+    """Fused window → Gram → bordered-Cholesky → band, batch on lanes.
+
+    Refs: xw (D, kp1, Bt) windows (slot k = the conditioned point),
+    validp (kp1, Bt) 0/1 neighbor mask (slot k always 1), out (kp1, Bt);
+    scratch: ares/lst (kp1, kp1, Bt) VMEM working factors.
+
+    Math: chol([[Kw, kni], [kniᵀ, kdiag]]) has last row [wᵀ, √F] with
+    w = L⁻¹kni — the final right-looking pivot IS the conditional variance
+    F = kdiag − kniᵀKw⁻¹kni, and the band's b = Kw⁻¹kni comes from one
+    back-substitution b = L⁻ᵀw.  Pivot floors match
+    :func:`masked_chol_solve_band_math` (8·eps relative to the original
+    diagonal), so the two paths agree to roundoff.
+
+    Layout: each rank-1 Schur update is a full-width rank-3 elementwise
+    broadcast over (kp1, kp1, Bt) with the batch on the 128-lane axis;
+    row/column extraction is dynamic leading-axis ref indexing (``pl.ds`` —
+    Mosaic cannot dynamic-slice register values, hence the scratch refs);
+    scalars-per-instance live as (1, Bt) rows.  Column loops are
+    ``fori_loop``s, so compile time is flat in k."""
+    cdt = ares_ref.dtype
+    w = xw_ref[:].astype(cdt)  # (D, kp1, Bt)
+    validp = validp_ref[:].astype(cdt)  # (kp1, Bt)
+    D, kp1, _ = w.shape
+    k = kp1 - 1
+    eps = jnp.finfo(cdt).eps
+    riota = jax.lax.broadcasted_iota(jnp.int32, (kp1, 1), 0)  # sublane ids
+
+    def onehot(j):  # (kp1, 1) float one-hot on the sublane axis
+        return (riota == j).astype(cdt)
+
+    r2 = None
+    for d in range(D):  # static feature loop (D is small)
+        wd = w[d]  # (kp1, Bt)
+        dd = wd[:, None, :] - wd[None, :, :]
+        r2 = dd * dd if r2 is None else r2 + dd * dd
+    G = k_of_r2(r2)
+
+    # invalid neighbors → identity rows / zero couplings (keeps the
+    # factorization defined for the first k points)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (kp1, kp1, 1), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (kp1, kp1, 1), 1)
+    ).astype(cdt)
+    pm = validp[:, None, :] * validp[None, :, :]  # (kp1, kp1, Bt)
+    Gm = G * pm + (1.0 - pm) * eye
+
+    diag0 = jnp.sum(Gm * eye, axis=0)  # (kp1, Bt) original diagonal
+    floors = 8.0 * eps * jnp.abs(diag0)
+
+    ares_ref[:] = Gm
+    lst_ref[:] = jnp.zeros_like(Gm)
+
+    def chol_step(j, _):
+        # row j of the residual == column j (the Schur complement stays
+        # symmetric under the rank-1 updates)
+        cj = ares_ref[pl.ds(j, 1)][0]  # (kp1, Bt)
+        ohj = onehot(j)
+        d_raw = jnp.sum(cj * ohj, axis=0, keepdims=True)  # (1, Bt) pivot
+        fl = jnp.sum(floors * ohj, axis=0, keepdims=True)
+        d = jnp.maximum(d_raw, fl)
+        inv = jax.lax.rsqrt(d)
+        # modified-Cholesky deflation: a floored pivot (numerically dependent
+        # column) zeroes its off-diagonal entries — otherwise rsqrt(floor)-
+        # scaled columns compound through later Schur updates and overflow
+        # f32; the diagonal is set to √d explicitly (cj[j]·inv would carry
+        # the sign of the cancelled raw pivot)
+        notc = (d_raw >= fl).astype(cdt)
+        Lcol = cj * (inv * notc) * (riota > j).astype(cdt) + ohj * (d * inv)
+        lst_ref[pl.ds(j, 1)] = Lcol[None]
+        ares_ref[:] = ares_ref[:] - Lcol[:, None, :] * Lcol[None, :, :]
+        return 0
+
+    jax.lax.fori_loop(0, kp1, chol_step, 0)
+    # lst[j, r] = L[r, j] (column j of L over rows r)
+
+    ohk = onehot(k)
+    # L[k, k] = √F from the last pivot
+    u0 = jnp.sum(lst_ref[pl.ds(k, 1)][0] * ohk, axis=0, keepdims=True)
+    inv_sqrt_F = 1.0 / u0  # (1, Bt)
+    Ldiag = jnp.sum(lst_ref[:] * eye, axis=0)  # (kp1, Bt): Ldiag[r] = L[r, r]
+
+    # back-substitution b = L_k⁻ᵀ w over the leading k×k block; slot k of b
+    # stays 0 so the t=k term of each reduction vanishes
+    def bwd_step(jj, b):
+        i = k - 1 - jj
+        Li = lst_ref[pl.ds(i, 1)][0]  # (kp1, Bt): Li[t] = L[t, i]
+        ohi = onehot(i)
+        s = jnp.sum(Li * b * (riota > i).astype(cdt), axis=0, keepdims=True)
+        wi = jnp.sum(Li * ohk, axis=0, keepdims=True)  # w_i = L[k, i]
+        di = jnp.sum(Ldiag * ohi, axis=0, keepdims=True)
+        return b + ohi * ((wi - s) / di)
+
+    b = jax.lax.fori_loop(0, k, bwd_step, jnp.zeros_like(validp))
+
+    maskk = (riota < k).astype(cdt)
+    band = -b * inv_sqrt_F * maskk + ohk * inv_sqrt_F
+    out_ref[:] = band.astype(out_ref.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_vecchia_band_lanes(
+    xw: jax.Array, valid: jax.Array, k_of_r2, block: int = 256
+) -> jax.Array:
+    """Fused Vecchia band rows from point windows, batch-on-lanes layout.
+
+    Same contract as :func:`pallas_vecchia_band` — xw: (N, D, k+1) windows
+    (slot k is the point itself), valid: (N, k) float neighbor mask,
+    k_of_r2 a static parameter-free stationary map — but the kernel runs
+    with the batch on the 128-lane axis (see
+    :func:`_vecchia_band_kernel_lanes`), which is what makes the fused
+    path faster than the XLA batched pipeline rather than 7× slower.
+
+    The (N, k, k) neighbor-Gram tensor never exists in HBM: traffic is the
+    (D, k+1, N) windows in and the (k+1, N) band out.
+
+    Differentiable w.r.t. ``xw`` via the shared XLA recompute pullback."""
+    return _vecchia_band_lanes_forward(xw, valid, k_of_r2, block)
+
+
+def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block):
+    N, D, kp1 = xw.shape
+    k = kp1 - 1
+    out_dtype = xw.dtype
+    block = min(block, N)
+    pad = (-N) % block
+    if pad:
+        xw = jnp.concatenate([xw, jnp.broadcast_to(xw[:1], (pad, D, kp1))], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros((pad, k), valid.dtype)], axis=0)
+    Np = N + pad
+
+    xwT = jnp.transpose(xw, (1, 2, 0))  # (D, kp1, Np)
+    validpT = jnp.concatenate(
+        [valid.swapaxes(0, 1), jnp.ones((1, Np), valid.dtype)], axis=0
+    )  # (kp1, Np)
+
+    interpret = config.pallas_interpret or jax.default_backend() != "tpu"
+    cdt = jnp.promote_types(out_dtype, jnp.float32)
+
+    out = pl.pallas_call(
+        partial(_vecchia_band_kernel_lanes, k_of_r2=k_of_r2),
+        out_shape=jax.ShapeDtypeStruct((kp1, Np), out_dtype),
+        grid=(Np // block,),
+        in_specs=[
+            pl.BlockSpec((D, kp1, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((kp1, block), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((kp1, block), lambda i: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((kp1, kp1, block), cdt),
+            pltpu.VMEM((kp1, kp1, block), cdt),
+        ],
+        interpret=interpret,
+    )(xwT, validpT)
+    return out.swapaxes(0, 1)[:N]
+
+
+def _vecchia_band_lanes_fwd(xw, valid, k_of_r2, block):
+    return _vecchia_band_lanes_forward(xw, valid, k_of_r2, block), (xw, valid)
+
+
+def _vecchia_band_lanes_bwd(k_of_r2, block, residuals, gbar):
+    return _vecchia_band_bwd(k_of_r2, None, None, 16384, residuals, gbar)
+
+
+pallas_vecchia_band_lanes.defvjp(_vecchia_band_lanes_fwd, _vecchia_band_lanes_bwd)

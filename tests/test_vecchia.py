@@ -206,6 +206,36 @@ def test_fused_pallas_band_multidim_inputs(key):
     np.testing.assert_allclose(np.asarray(U2), np.asarray(U1), rtol=1e-7, atol=1e-9)
 
 
+def test_lanes_band_kernel_matches_first_gen(key):
+    """The batch-on-lanes fused band kernel equals the first-generation
+    (k-on-lanes) kernel bit-for-tolerance: values and window gradients,
+    including the masked first-k points and a non-divisible block size."""
+    from approximategps_tpu.ops.batched_chol import (
+        pallas_vecchia_band,
+        pallas_vecchia_band_lanes,
+    )
+
+    fn = agp.SqExponentialKernel.k_of_r2
+    N, D, k = 75, 2, 5
+    X = jax.random.normal(key, (N, D))
+    idx = jnp.arange(N)[:, None] - k + jnp.arange(k)[None, :]
+    valid = (idx >= 0).astype(X.dtype)
+    xw = jnp.concatenate(
+        [X[jnp.clip(idx, 0, N - 1)], X[:, None, :]], axis=1
+    ).swapaxes(1, 2)
+
+    def loss(f):
+        def inner(w):
+            return jnp.sum(jnp.sin(f(w, valid, fn)))
+
+        return jax.value_and_grad(inner)(xw)
+
+    v1, g1 = loss(pallas_vecchia_band)
+    v2, g2 = loss(pallas_vecchia_band_lanes)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-8, atol=1e-12)
+
+
 def test_general_neighbors_exact_at_full_k(key):
     """Any ordering with k=N−1 nearest-predecessor neighbors reproduces the
     exact GP (the factorization is then exact regardless of order)."""
