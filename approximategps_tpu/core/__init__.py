@@ -40,6 +40,7 @@ from .likelihoods import (
     ExponentialLikelihood,
     FunctionLikelihood,
     GammaLikelihood,
+    GaussNewtonLikelihood,
     GaussianLikelihood,
     Likelihood,
     PoissonLikelihood,

@@ -33,6 +33,7 @@ __all__ = [
     "PoissonLikelihood",
     "ExponentialLikelihood",
     "GammaLikelihood",
+    "GaussNewtonLikelihood",
     "StudentTLikelihood",
     "FunctionLikelihood",
     "as_likelihood",
@@ -70,6 +71,13 @@ class Likelihood:
     def conditional_sample(self, key: jax.Array, f: jax.Array) -> jax.Array:
         raise NotImplementedError
 
+    def fisher_information(self, f: jax.Array, y: jax.Array):
+        """Per-point Fisher information E_{y~p(·|f)}[−∂²/∂f² log p(y|f)],
+        or None if no closed form is implemented.  Always ≥ 0 — the PSD
+        curvature surrogate used by :class:`GaussNewtonLikelihood` for
+        non-log-concave likelihoods."""
+        return None
+
 
 @pytree_dataclass
 class GaussianLikelihood(Likelihood):
@@ -91,6 +99,9 @@ class GaussianLikelihood(Likelihood):
         d1 = (y - f) / s2
         d2 = jnp.full_like(f, -1.0 / s2)
         return ll, d1, d2
+
+    def fisher_information(self, f, y):
+        return jnp.full_like(f, 1.0 / jnp.asarray(self.obs_variance, f.dtype))
 
     def conditional_sample(self, key, f):
         s = jnp.sqrt(jnp.asarray(self.obs_variance))
@@ -248,6 +259,67 @@ class StudentTLikelihood(Likelihood):
         return f + jnp.asarray(self.scale, f.dtype) * jax.random.t(
             key, jnp.asarray(self.df, f.dtype), f.shape, dtype=f.dtype
         )
+
+    def fisher_information(self, f, y):
+        # E[−∂²/∂f² log p] = (ν+1)/((ν+3)σ²) (location-Fisher of Student-t)
+        nu = jnp.asarray(self.df, f.dtype)
+        s2 = jnp.asarray(self.scale, f.dtype) ** 2
+        return jnp.full_like(f, (nu + 1.0) / ((nu + 3.0) * s2))
+
+
+@pytree_dataclass
+class GaussNewtonLikelihood(Likelihood):
+    """PSD-curvature surrogate wrapper for non-log-concave likelihoods.
+
+    The Laplace Newton iteration and its linear algebra require W = −∂²ll ≥ 0
+    (``chol(I + √W K √W)``); heavy-tailed likelihoods (e.g.
+    :class:`StudentTLikelihood`) have regions of negative W where the plain
+    iteration produces NaNs.  This wrapper replaces the reported second
+    derivative with a PSD surrogate while leaving ``log_prob`` and the first
+    derivative untouched:
+
+    - ``mode="clamp"``: W = max(−∂²ll, floor) — the observed curvature,
+      floored (GPML-style),
+    - ``mode="fisher"``: W = Fisher information E_y[−∂²ll] (requires the
+      inner likelihood's :meth:`~Likelihood.fisher_information`) — the
+      Gauss-Newton / Fisher-scoring choice (cf. Vanhatalo et al. 2009 for
+      Student-t GPs; Immer et al. 2021 for GGN-Laplace).
+
+    Semantics: the Newton FIXED POINT is unchanged (any PSD W preconditions
+    the same stationarity condition f = K·∇ll), so the mode is exact; the
+    Laplace lml, posterior covariance and IFT hyperparameter gradients use
+    the surrogate curvature consistently (a generalized-Gauss-Newton Laplace
+    approximation rather than the exact-Hessian one)."""
+
+    inner: Likelihood
+    mode: str = static_field(default="clamp")
+    floor: float = static_field(default=1e-6)
+
+    def log_prob(self, f, y):
+        return self.inner.log_prob(f, y)
+
+    def expected_log_prob_analytic(self, q_mean, q_var, y):
+        return self.inner.expected_log_prob_analytic(q_mean, q_var, y)
+
+    def conditional_sample(self, key, f):
+        return self.inner.conditional_sample(key, f)
+
+    def fisher_information(self, f, y):
+        return self.inner.fisher_information(f, y)
+
+    def log_prob_d1_d2(self, f, y):
+        ll, d1, d2 = self.inner.log_prob_d1_d2(f, y)
+        if self.mode == "fisher":
+            fi = self.inner.fisher_information(f, y)
+            if fi is None:
+                raise NotImplementedError(
+                    f"{type(self.inner).__name__} has no closed-form "
+                    "fisher_information; use mode='clamp'"
+                )
+            return ll, d1, -fi
+        if self.mode != "clamp":
+            raise ValueError(f"unknown GaussNewton mode: {self.mode!r}")
+        return ll, d1, jnp.minimum(d2, -jnp.asarray(self.floor, d2.dtype))
 
 
 @pytree_dataclass

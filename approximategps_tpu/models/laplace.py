@@ -42,6 +42,7 @@ __all__ = [
     "LaplacePosterior",
     "newton_inner_loop",
     "newton_inner_loop_jvp",
+    "newton_multistart",
     "laplace_lml",
     "laplace_f_and_lml",
     "laplace_f_cov",
@@ -60,6 +61,7 @@ class LaplaceApproximation:
     maxiter: int = static_field(default=100)
     tol: float | None = static_field(default=None)
     callback: Callable | None = static_field(default=None)
+    damping: float = static_field(default=1.0)
 
 
 @pytree_dataclass
@@ -89,10 +91,17 @@ def _laplace_train_intermediates(lik: Likelihood, ys, K, f) -> LaplaceCache:
     return LaplaceCache(K=K, f=f, W=W, Wsqrt=Wsqrt, loglik=ll, d_loglik=d_ll, B_L=B_L, a=a)
 
 
-def _newton_step(lik, ys, K, f):
-    """RW Alg. 3.1 line 8 (reference ``:243-248``)."""
+def _newton_step(lik, ys, K, f, damping: float = 1.0):
+    """RW Alg. 3.1 line 8 (reference ``:243-248``).
+
+    ``damping`` < 1 takes a partial step f + η(f_newton − f): the fixed
+    point is unchanged, but damping stabilizes the clamped-curvature
+    iteration for non-log-concave likelihoods (undamped Newton with a
+    floored W oscillates where ψ is locally concave)."""
     cache = _laplace_train_intermediates(lik, ys, K, f)
     fnew = K @ cache.a
+    if damping != 1.0:
+        fnew = f + damping * (fnew - f)
     return fnew, cache
 
 
@@ -122,7 +131,8 @@ def _isapprox(f, fnew, rtol):
 
 
 def _newton_inner_loop(lik, ys, K, f_init, maxiter: int, tol: float,
-                       callback: Callable | None = None):
+                       callback: Callable | None = None,
+                       damping: float = 1.0):
     """Run Newton to convergence; returns (f_opt, n_iter).
 
     Do not differentiate through this — gradients must flow through the
@@ -146,7 +156,7 @@ def _newton_inner_loop(lik, ys, K, f_init, maxiter: int, tol: float,
 
     def body(carry):
         f, i, done = carry
-        fnew, cache = _newton_step(lik, ys, K, f)
+        fnew, cache = _newton_step(lik, ys, K, f, damping)
         if callback is not None:
             io_callback(
                 host_cb, jax.ShapeDtypeStruct((), jnp.int32), fnew, cache,
@@ -189,13 +199,14 @@ def _newton_inner_loop_scan(lik, ys, K, f_init, maxiter: int, tol: float):
     return f_opt, n_iter, steps
 
 
-def _newton_inner_loop_eager(lik, ys, K, f_init, maxiter, tol, callback):
+def _newton_inner_loop_eager(lik, ys, K, f_init, maxiter, tol, callback,
+                             damping: float = 1.0):
     """Python-loop variant used when a per-step ``newton_callback`` is given
     (reference callback hook ``:263-265``).  Not jittable."""
     f = jnp.asarray(f_init, dtype=K.dtype)
     n = 0
     for _ in range(maxiter):
-        fnew, cache = _newton_step(lik, ys, K, f)
+        fnew, cache = _newton_step(lik, ys, K, f, damping)
         n += 1
         if callback is not None:
             callback(fnew, cache)
@@ -211,23 +222,27 @@ def _newton_inner_loop_eager(lik, ys, K, f_init, maxiter, tol, callback):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _newton_solve(lik_def, maxiter, tol, lik_leaves, ys, K, f_init):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _newton_solve(lik_def, maxiter, tol, damping, lik_leaves, ys, K, f_init):
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    f_opt, n_iter = _newton_inner_loop(lik, ys, K, f_init, maxiter, tol)
+    f_opt, n_iter = _newton_inner_loop(
+        lik, ys, K, f_init, maxiter, tol, damping=damping
+    )
     return f_opt, n_iter
 
 
-def _newton_solve_fwd(lik_def, maxiter, tol, lik_leaves, ys, K, f_init):
+def _newton_solve_fwd(lik_def, maxiter, tol, damping, lik_leaves, ys, K, f_init):
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    f_opt, n_iter = _newton_inner_loop(lik, ys, K, f_init, maxiter, tol)
+    f_opt, n_iter = _newton_inner_loop(
+        lik, ys, K, f_init, maxiter, tol, damping=damping
+    )
     # Residuals for the IFT pullback: recompute W, B at the fixed point.
     cache = _laplace_train_intermediates(lik, ys, K, f_opt)
     residuals = (lik_leaves, ys, K, f_opt, cache.Wsqrt, cache.B_L, cache.d_loglik)
     return (f_opt, n_iter), residuals
 
 
-def _newton_solve_bwd(lik_def, maxiter, tol, residuals, cts):
+def _newton_solve_bwd(lik_def, maxiter, tol, damping, residuals, cts):
     ct_f, _ct_niter = cts
     lik_leaves, ys, K, f_opt, Wsqrt, B_L, d_loglik = residuals
 
@@ -260,22 +275,22 @@ _newton_solve.defvjp(_newton_solve_fwd, _newton_solve_bwd)
 # io-callback variant: same while_loop forward (early exit preserved) and the
 # same IFT pullback, with the per-iterate callback firing from inside jit.
 # `callback` must be hashable (plain functions/methods/closures are).
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _newton_solve_io_cb(lik_def, maxiter, tol, callback, lik_leaves, ys, K, f_init):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _newton_solve_io_cb(lik_def, maxiter, tol, damping, callback, lik_leaves, ys, K, f_init):
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    return _newton_inner_loop(lik, ys, K, f_init, maxiter, tol, callback)
+    return _newton_inner_loop(lik, ys, K, f_init, maxiter, tol, callback, damping)
 
 
-def _newton_solve_io_cb_fwd(lik_def, maxiter, tol, callback, lik_leaves, ys, K, f_init):
+def _newton_solve_io_cb_fwd(lik_def, maxiter, tol, damping, callback, lik_leaves, ys, K, f_init):
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    f_opt, n_iter = _newton_inner_loop(lik, ys, K, f_init, maxiter, tol, callback)
+    f_opt, n_iter = _newton_inner_loop(lik, ys, K, f_init, maxiter, tol, callback, damping)
     cache = _laplace_train_intermediates(lik, ys, K, f_opt)
     residuals = (lik_leaves, ys, K, f_opt, cache.Wsqrt, cache.B_L, cache.d_loglik)
     return (f_opt, n_iter), residuals
 
 
-def _newton_solve_io_cb_bwd(lik_def, maxiter, tol, callback, residuals, cts):
-    return _newton_solve_bwd(lik_def, maxiter, tol, residuals, cts)
+def _newton_solve_io_cb_bwd(lik_def, maxiter, tol, damping, callback, residuals, cts):
+    return _newton_solve_bwd(lik_def, maxiter, tol, damping, residuals, cts)
 
 
 _newton_solve_io_cb.defvjp(_newton_solve_io_cb_fwd, _newton_solve_io_cb_bwd)
@@ -291,6 +306,7 @@ def newton_inner_loop(
     callback: Callable | None = None,
     callback_mode: str = "eager",
     return_niter: bool = False,
+    damping: float = 1.0,
 ):
     """Find a mode of p(f | y) by Newton's method (reference ``:300-307``).
 
@@ -301,6 +317,11 @@ def newton_inner_loop(
     ``:263-265``).  ``callback_mode="eager"`` uses a Python loop (not
     jittable); ``callback_mode="io"`` runs a bounded ``lax.scan`` and fires
     the callback from inside jit via ``io_callback`` with identical payloads.
+
+    ``damping`` < 1 takes partial steps f + η(f_newton − f) — same fixed
+    point, stabilizes clamped-curvature iterations for non-log-concave
+    likelihoods (see
+    :class:`~approximategps_tpu.core.likelihoods.GaussNewtonLikelihood`).
     """
     lik = as_likelihood(lik)
     K = jnp.asarray(K)
@@ -312,20 +333,53 @@ def newton_inner_loop(
     if callback is not None:
         if callback_mode == "io":
             f_opt, n_iter = _newton_solve_io_cb(
-                lik_def, int(maxiter), float(tol), callback,
+                lik_def, int(maxiter), float(tol), float(damping), callback,
                 tuple(lik_leaves), ys, K, f_init,
             )
             return (f_opt, n_iter) if return_niter else f_opt
         if callback_mode != "eager":
             raise ValueError(f"unknown callback_mode: {callback_mode!r}")
         f_opt, n_iter = _newton_inner_loop_eager(
-            lik, ys, K, f_init, maxiter, tol, callback
+            lik, ys, K, f_init, maxiter, tol, callback, damping
         )
         return (f_opt, n_iter) if return_niter else f_opt
     f_opt, n_iter = _newton_solve(
-        lik_def, int(maxiter), float(tol), tuple(lik_leaves), ys, K, f_init
+        lik_def, int(maxiter), float(tol), float(damping),
+        tuple(lik_leaves), ys, K, f_init,
     )
     return (f_opt, n_iter) if return_niter else f_opt
+
+
+def newton_multistart(lik, ys, K, f_inits, maxiter: int = 100, tol=None,
+                      damping: float = 1.0):
+    """Run Newton from S initial points and return the best mode.
+
+    For non-log-concave likelihoods (e.g. Student-t, typically via
+    :class:`~approximategps_tpu.core.likelihoods.GaussNewtonLikelihood`) the
+    posterior can be multi-modal and Newton lands in the basin of its start;
+    multi-start picks the mode with the highest Laplace lml.
+
+    ``f_inits``: (S, N) initial points.  Returns ``(f_best, lmls)`` with
+    ``f_best`` stop-gradiented — feed it as ``f_init`` to
+    :func:`newton_inner_loop` / :class:`LaplaceApproximation` /
+    :func:`build_laplace_objective` so the differentiable IFT solve starts
+    (and converges in ~1 step) at the selected mode.  The vmapped
+    ``while_loop`` runs until every start converges."""
+    lik = as_likelihood(lik)
+    K = jnp.asarray(K)
+    if tol is None:
+        tol = _default_tol(K.dtype)
+
+    def solve(f0):
+        f_opt, _ = _newton_inner_loop(
+            lik, ys, K, f0, int(maxiter), float(tol), damping=float(damping)
+        )
+        cache = _laplace_train_intermediates(lik, ys, K, f_opt)
+        return f_opt, _laplace_lml_from_cache(f_opt, cache)
+
+    f_opts, lmls = jax.vmap(solve)(jnp.asarray(f_inits, dtype=K.dtype))
+    best = jnp.argmax(lmls)
+    return jax.lax.stop_gradient(f_opts[best]), lmls
 
 
 def newton_inner_loop_jvp(lik, ys, K, dK, **newton_kwargs):
@@ -444,6 +498,7 @@ def _posterior_laplace(la: LaplaceApproximation, lfx: LatentFiniteGP, ys, **_):
         maxiter=la.maxiter,
         tol=la.tol,
         callback=la.callback,
+        damping=la.damping,
     )
     cache = _laplace_train_intermediates(lik, ys, K, f_opt)
     return LaplacePosterior(approx=la, prior_fx=lfx.fx, cache=cache)
@@ -454,7 +509,8 @@ def _approx_lml_laplace(la: LaplaceApproximation, lfx: LatentFiniteGP, ys, **_):
     """Reference ``:58-60``."""
     lik, K = _check_laplace_inputs(lfx, ys)
     return laplace_lml(
-        lik, ys, K, f_init=la.f_init, maxiter=la.maxiter, tol=la.tol
+        lik, ys, K, f_init=la.f_init, maxiter=la.maxiter, tol=la.tol,
+        damping=la.damping,
     )
 
 

@@ -340,3 +340,74 @@ def test_laplace_steps_scan_matches_eager_steps():
         np.testing.assert_allclose(out["f"][i], np.asarray(r.fnew), atol=1e-10)
         np.testing.assert_allclose(float(out["lml"][i]), float(r.lml_approx), atol=1e-10)
     np.testing.assert_allclose(out["f_opt"], np.asarray(res[-1].fnew), atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# GaussNewton curvature surrogate + multi-start (non-log-concave extension)
+# ---------------------------------------------------------------------------
+
+
+def test_gauss_newton_studentt_finds_stationary_mode(key):
+    """Student-t Laplace via the PSD curvature surrogates: the iteration
+    converges to a stationary point of ψ(f) = −log p(y|f) + ½fᵀK⁻¹f (the
+    surrogate changes the iteration, not the stationarity condition
+    f = K·∇ll).  Plain undamped clamp oscillates on this problem — the
+    ``damping`` option is what stabilizes it."""
+    k1, k2 = jax.random.split(key)
+    N, df, scale = 24, 3.0, 0.4
+    x = jnp.sort(jax.random.uniform(k1, (N,)) * 6)
+    y = jnp.sin(x) + 0.2 * jax.random.t(k2, df, (N,))
+    kern = 1.5 * agp.with_lengthscale(agp.Matern52Kernel(), 0.8)
+    K = kern.gram(x) + 1e-8 * jnp.eye(N)
+
+    for mode, damping in (("fisher", 1.0), ("clamp", 0.5)):
+        lik = agp.GaussNewtonLikelihood(
+            agp.StudentTLikelihood(df, scale), mode=mode
+        )
+        f_opt = L.newton_inner_loop(lik, y, K, maxiter=3000, damping=damping)
+        assert np.all(np.isfinite(np.asarray(f_opt)))
+        # stationarity of ψ: ∇ψ = K⁻¹f − ∇ll = 0 at the mode
+        _, d1, _ = lik.log_prob_d1_d2(f_opt, y)
+        g = jnp.linalg.solve(K, f_opt) - d1
+        assert float(jnp.linalg.norm(g)) < 1e-4, (mode, damping)
+        lml = L.laplace_lml(lik, y, K, f_opt=f_opt)
+        assert np.isfinite(float(lml))
+
+
+def test_gauss_newton_inactive_equals_plain_newton():
+    """For a log-concave likelihood the clamp never fires: wrapped and plain
+    Laplace agree exactly in lml and hyperparameter gradients."""
+    X, Y = tu.generate_data()
+
+    def lml(theta, wrap):
+        lf = tu.build_latent_gp(theta)
+        lfx = lf(X)
+        lik = agp.GaussNewtonLikelihood(lfx.lik, mode="clamp", floor=1e-12)
+        K = lfx.fx.cov()
+        ys = jnp.asarray(Y, K.dtype)
+        return L.laplace_lml(lik if wrap else lfx.lik, ys, K, tol=1e-12)
+
+    theta = jnp.array([1.3, 0.2])
+    v1, g1 = jax.value_and_grad(lml)(theta, False)
+    v2, g2 = jax.value_and_grad(lml)(theta, True)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-9)
+
+
+def test_newton_multistart_picks_better_mode():
+    """Cauchy-like likelihood with a strong prior gives a bimodal posterior:
+    Newton from 0 and from y land in different basins; multistart returns
+    the one with the higher Laplace lml."""
+    K = jnp.array([[1.0]])
+    y = jnp.array([6.0])
+    lik = agp.GaussNewtonLikelihood(
+        agp.StudentTLikelihood(1.0, 0.1), mode="fisher"
+    )
+    starts = jnp.stack([jnp.zeros(1), y])
+    f_best, lmls = L.newton_multistart(lik, y, K, starts, maxiter=500)
+    lmls = np.asarray(lmls)
+    assert np.all(np.isfinite(lmls))
+    # the two starts genuinely find different modes
+    assert abs(lmls[0] - lmls[1]) > 1e-3
+    best_lml = float(L.laplace_lml(lik, y, K, f_opt=f_best))
+    np.testing.assert_allclose(best_lml, lmls.max(), rtol=1e-10)
