@@ -515,94 +515,117 @@ pallas_vecchia_band.defvjp(_vecchia_band_fwd, _vecchia_band_bwd)
 
 
 def _vecchia_band_kernel_lanes(
-    xw_ref, validp_ref, out_ref, ares_ref, lst_ref, *, k_of_r2
+    xw_ref, validp_ref, out_ref, ares_ref, lst_ref, *, k_of_r2, kp1: int,
+    panel: int
 ):
     """Fused window → Gram → bordered-Cholesky → band, batch on lanes.
 
-    Refs: xw (D, kp1, Bt) windows (slot k = the conditioned point),
-    validp (kp1, Bt) 0/1 neighbor mask (slot k always 1), out (kp1, Bt);
-    scratch: ares/lst (kp1, kp1, Bt) VMEM working factors.
+    Refs: xw (D, kpp, Bt) windows (slot k = kp1−1 is the conditioned point,
+    slots ≥ kp1 are panel padding), validp (kpp, Bt) 0/1 neighbor mask
+    (slot k always 1, pads 0), out (kp1, Bt); scratch: ares/lst
+    (kpp, kpp, Bt) VMEM working factors, kpp = panel-padded kp1.
 
     Math: chol([[Kw, kni], [kniᵀ, kdiag]]) has last row [wᵀ, √F] with
     w = L⁻¹kni — the final right-looking pivot IS the conditional variance
     F = kdiag − kniᵀKw⁻¹kni, and the band's b = Kw⁻¹kni comes from one
     back-substitution b = L⁻ᵀw.  Pivot floors match
     :func:`masked_chol_solve_band_math` (8·eps relative to the original
-    diagonal), so the two paths agree to roundoff.
+    diagonal, with modified-Cholesky deflation of floored pivots), so the
+    two paths agree to roundoff.  Padding slots factor as identity columns
+    after slot k and never touch F or b.
 
-    Layout: each rank-1 Schur update is a full-width rank-3 elementwise
-    broadcast over (kp1, kp1, Bt) with the batch on the 128-lane axis;
-    row/column extraction is dynamic leading-axis ref indexing (``pl.ds`` —
-    Mosaic cannot dynamic-slice register values, hence the scratch refs);
-    scalars-per-instance live as (1, Bt) rows.  Column loops are
-    ``fori_loop``s, so compile time is flat in k."""
+    Layout: the batch rides the 128-lane axis; row/column extraction is
+    dynamic leading-axis ref indexing (``pl.ds`` — Mosaic cannot
+    dynamic-slice register values, hence the scratch refs); scalars-per-
+    instance live as (1, Bt) rows.  The factorization is blocked into
+    ``panel``-column right-looking panels: the full-matrix Schur update —
+    the VMEM-bandwidth-dominant op — runs once per panel as a rank-P update
+    instead of once per column, cutting scratch traffic by P."""
     cdt = ares_ref.dtype
-    w = xw_ref[:].astype(cdt)  # (D, kp1, Bt)
-    validp = validp_ref[:].astype(cdt)  # (kp1, Bt)
-    D, kp1, _ = w.shape
+    w = xw_ref[:].astype(cdt)  # (D, kpp, Bt)
+    validp = validp_ref[:].astype(cdt)  # (kpp, Bt)
+    D, kpp, _ = w.shape
     k = kp1 - 1
     eps = jnp.finfo(cdt).eps
-    riota = jax.lax.broadcasted_iota(jnp.int32, (kp1, 1), 0)  # sublane ids
+    riota = jax.lax.broadcasted_iota(jnp.int32, (kpp, 1), 0)  # sublane ids
 
-    def onehot(j):  # (kp1, 1) float one-hot on the sublane axis
+    def onehot(j):  # (kpp, 1) float one-hot on the sublane axis
         return (riota == j).astype(cdt)
 
     r2 = None
     for d in range(D):  # static feature loop (D is small)
-        wd = w[d]  # (kp1, Bt)
+        wd = w[d]  # (kpp, Bt)
         dd = wd[:, None, :] - wd[None, :, :]
         r2 = dd * dd if r2 is None else r2 + dd * dd
     G = k_of_r2(r2)
 
-    # invalid neighbors → identity rows / zero couplings (keeps the
-    # factorization defined for the first k points)
+    # invalid neighbors / pad slots → identity rows / zero couplings (keeps
+    # the factorization defined for the first k points and the pads inert)
     eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (kp1, kp1, 1), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (kp1, kp1, 1), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (kpp, kpp, 1), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (kpp, kpp, 1), 1)
     ).astype(cdt)
-    pm = validp[:, None, :] * validp[None, :, :]  # (kp1, kp1, Bt)
+    pm = validp[:, None, :] * validp[None, :, :]  # (kpp, kpp, Bt)
     Gm = G * pm + (1.0 - pm) * eye
 
-    diag0 = jnp.sum(Gm * eye, axis=0)  # (kp1, Bt) original diagonal
+    diag0 = jnp.sum(Gm * eye, axis=0)  # (kpp, Bt) original diagonal
     floors = 8.0 * eps * jnp.abs(diag0)
 
     ares_ref[:] = Gm
-    lst_ref[:] = jnp.zeros_like(Gm)
 
-    def chol_step(j, _):
-        # row j of the residual == column j (the Schur complement stays
-        # symmetric under the rank-1 updates)
-        cj = ares_ref[pl.ds(j, 1)][0]  # (kp1, Bt)
-        ohj = onehot(j)
-        d_raw = jnp.sum(cj * ohj, axis=0, keepdims=True)  # (1, Bt) pivot
-        fl = jnp.sum(floors * ohj, axis=0, keepdims=True)
-        d = jnp.maximum(d_raw, fl)
-        inv = jax.lax.rsqrt(d)
-        # modified-Cholesky deflation: a floored pivot (numerically dependent
-        # column) zeroes its off-diagonal entries — otherwise rsqrt(floor)-
-        # scaled columns compound through later Schur updates and overflow
-        # f32; the diagonal is set to √d explicitly (cj[j]·inv would carry
-        # the sign of the cancelled raw pivot)
-        notc = (d_raw >= fl).astype(cdt)
-        Lcol = cj * (inv * notc) * (riota > j).astype(cdt) + ohj * (d * inv)
-        lst_ref[pl.ds(j, 1)] = Lcol[None]
-        ares_ref[:] = ares_ref[:] - Lcol[:, None, :] * Lcol[None, :, :]
+    def panel_step(pidx, _):
+        jbase = pidx * panel
+        slab = ares_ref[pl.ds(jbase, panel)]  # (P, kpp, Bt) panel columns
+        cols = []
+        for c in range(panel):  # static inner loop over the panel
+            j = jbase + c
+            cj = slab[c]  # (kpp, Bt) residual column j (== row j: symmetric)
+            ohj = onehot(j)
+            d_raw = jnp.sum(cj * ohj, axis=0, keepdims=True)  # (1, Bt) pivot
+            fl = jnp.sum(floors * ohj, axis=0, keepdims=True)
+            d = jnp.maximum(d_raw, fl)
+            inv = jax.lax.rsqrt(d)
+            # modified-Cholesky deflation: a floored pivot (numerically
+            # dependent column) zeroes its off-diagonal entries — otherwise
+            # rsqrt(floor)-scaled columns compound through later Schur
+            # updates and overflow f32; the diagonal is √d explicitly
+            notc = (d_raw >= fl).astype(cdt)
+            Lcol = cj * (inv * notc) * (riota > j).astype(cdt) + ohj * (d * inv)
+            cols.append(Lcol)
+            if c + 1 < panel:
+                # panel-internal rank-1 update; entries for columns ≤ c are
+                # never read again, so their garbage is harmless
+                coef = jnp.concatenate(
+                    [
+                        jnp.sum(Lcol * onehot(jbase + t), axis=0, keepdims=True)
+                        for t in range(panel)
+                    ],
+                    axis=0,
+                )  # (P, Bt): Lcol at the panel's own row positions
+                slab = slab - coef[:, None, :] * Lcol[None, :, :]
+        lst_ref[pl.ds(jbase, panel)] = jnp.stack(cols, axis=0)
+        # trailing rank-P Schur update: ONE read-modify-write pass of the
+        # full residual per panel (the bandwidth-dominant op)
+        upd = cols[0][:, None, :] * cols[0][None, :, :]
+        for c in range(1, panel):
+            upd = upd + cols[c][:, None, :] * cols[c][None, :, :]
+        ares_ref[:] = ares_ref[:] - upd
         return 0
 
-    jax.lax.fori_loop(0, kp1, chol_step, 0)
+    jax.lax.fori_loop(0, kpp // panel, panel_step, 0)
     # lst[j, r] = L[r, j] (column j of L over rows r)
 
     ohk = onehot(k)
     # L[k, k] = √F from the last pivot
     u0 = jnp.sum(lst_ref[pl.ds(k, 1)][0] * ohk, axis=0, keepdims=True)
     inv_sqrt_F = 1.0 / u0  # (1, Bt)
-    Ldiag = jnp.sum(lst_ref[:] * eye, axis=0)  # (kp1, Bt): Ldiag[r] = L[r, r]
+    Ldiag = jnp.sum(lst_ref[:] * eye, axis=0)  # (kpp, Bt): Ldiag[r] = L[r, r]
 
-    # back-substitution b = L_k⁻ᵀ w over the leading k×k block; slot k of b
-    # stays 0 so the t=k term of each reduction vanishes
+    # back-substitution b = L_k⁻ᵀ w over the leading k×k block; slots ≥ k of
+    # b stay 0 so the t ≥ k terms of each reduction vanish
     def bwd_step(jj, b):
         i = k - 1 - jj
-        Li = lst_ref[pl.ds(i, 1)][0]  # (kp1, Bt): Li[t] = L[t, i]
+        Li = lst_ref[pl.ds(i, 1)][0]  # (kpp, Bt): Li[t] = L[t, i]
         ohi = onehot(i)
         s = jnp.sum(Li * b * (riota > i).astype(cdt), axis=0, keepdims=True)
         wi = jnp.sum(Li * ohk, axis=0, keepdims=True)  # w_i = L[k, i]
@@ -613,12 +636,13 @@ def _vecchia_band_kernel_lanes(
 
     maskk = (riota < k).astype(cdt)
     band = -b * inv_sqrt_F * maskk + ohk * inv_sqrt_F
-    out_ref[:] = band.astype(out_ref.dtype)
+    out_ref[:] = band[:kp1].astype(out_ref.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def pallas_vecchia_band_lanes(
-    xw: jax.Array, valid: jax.Array, k_of_r2, block: int = 256
+    xw: jax.Array, valid: jax.Array, k_of_r2, block: int = 256,
+    panel: int = 1,
 ) -> jax.Array:
     """Fused Vecchia band rows from point windows, batch-on-lanes layout.
 
@@ -632,11 +656,19 @@ def pallas_vecchia_band_lanes(
     The (N, k, k) neighbor-Gram tensor never exists in HBM: traffic is the
     (D, k+1, N) windows in and the (k+1, N) band out.
 
+    ``panel`` blocks the right-looking factorization into rank-P Schur
+    updates; the bordered matrix is padded with inert identity slots to a
+    multiple of P.  Measured on v5e at k=32: no win (Mosaic streams each
+    rank-3 term through VMEM anyway, so the rank-P sum costs the same
+    traffic and the padding adds (kpp/kp1)² overhead: 331/357/389 ms at
+    P=2/4/8 vs 334 ms at P=1) — default 1, kept as a tuning knob for
+    other k/hardware.
+
     Differentiable w.r.t. ``xw`` via the shared XLA recompute pullback."""
-    return _vecchia_band_lanes_forward(xw, valid, k_of_r2, block)
+    return _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel)
 
 
-def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block):
+def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel):
     N, D, kp1 = xw.shape
     k = kp1 - 1
     out_dtype = xw.dtype
@@ -647,37 +679,53 @@ def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block):
         valid = jnp.concatenate([valid, jnp.zeros((pad, k), valid.dtype)], axis=0)
     Np = N + pad
 
+    kpp = kp1 + ((-kp1) % panel)  # panel-padded bordered size
     xwT = jnp.transpose(xw, (1, 2, 0))  # (D, kp1, Np)
+    if kpp > kp1:
+        # pad window slots with copies of slot 0 — masked to identity
+        # columns in-kernel via the zero validp rows below
+        xwT = jnp.concatenate(
+            [xwT, jnp.broadcast_to(xwT[:, :1], (D, kpp - kp1, Np))], axis=1
+        )
     validpT = jnp.concatenate(
-        [valid.swapaxes(0, 1), jnp.ones((1, Np), valid.dtype)], axis=0
-    )  # (kp1, Np)
+        [
+            valid.swapaxes(0, 1),
+            jnp.ones((1, Np), valid.dtype),
+            jnp.zeros((kpp - kp1, Np), valid.dtype),
+        ],
+        axis=0,
+    )  # (kpp, Np)
 
     interpret = config.pallas_interpret or jax.default_backend() != "tpu"
     cdt = jnp.promote_types(out_dtype, jnp.float32)
 
     out = pl.pallas_call(
-        partial(_vecchia_band_kernel_lanes, k_of_r2=k_of_r2),
+        partial(_vecchia_band_kernel_lanes, k_of_r2=k_of_r2, kp1=kp1,
+                panel=panel),
         out_shape=jax.ShapeDtypeStruct((kp1, Np), out_dtype),
         grid=(Np // block,),
         in_specs=[
-            pl.BlockSpec((D, kp1, block), lambda i: (0, 0, i)),
-            pl.BlockSpec((kp1, block), lambda i: (0, i)),
+            pl.BlockSpec((D, kpp, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((kpp, block), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((kp1, block), lambda i: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((kp1, kp1, block), cdt),
-            pltpu.VMEM((kp1, kp1, block), cdt),
+            pltpu.VMEM((kpp, kpp, block), cdt),
+            pltpu.VMEM((kpp, kpp, block), cdt),
         ],
         interpret=interpret,
     )(xwT, validpT)
     return out.swapaxes(0, 1)[:N]
 
 
-def _vecchia_band_lanes_fwd(xw, valid, k_of_r2, block):
-    return _vecchia_band_lanes_forward(xw, valid, k_of_r2, block), (xw, valid)
+def _vecchia_band_lanes_fwd(xw, valid, k_of_r2, block, panel):
+    return (
+        _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel),
+        (xw, valid),
+    )
 
 
-def _vecchia_band_lanes_bwd(k_of_r2, block, residuals, gbar):
+def _vecchia_band_lanes_bwd(k_of_r2, block, panel, residuals, gbar):
     return _vecchia_band_bwd(k_of_r2, None, None, 16384, residuals, gbar)
 
 
