@@ -101,6 +101,11 @@ class _SVGPCache:
     B: jax.Array
     alpha: jax.Array
     Lk_inv: jax.Array | None = None
+    # S = Lk⁻ᵀ(BBᵀ−I)Lk⁻¹ — the posterior-covariance correction formed at
+    # M×M scale, so marginal variances need ONE (M, B) projection matmul
+    # (diag(KufᵀS Kuf)) instead of two (A = Lk⁻¹Kuf and BᵀA); the backward
+    # pass saves two more.  Algebraically identical to −AᵀA + (BᵀA)ᵀ(BᵀA).
+    S_corr: jax.Array | None = None
 
 
 def _storage_dtype(dtype):
@@ -180,7 +185,28 @@ class SVGPPosterior(AbstractGP):
             + self._BtA(Ax).T @ self._BtA(Az)
         )
 
+    def _var_via_S(self, x, Kuf=None):
+        """prior.var + Σ_m Kuf ∘ (S Kuf) — the single-projection variance."""
+        if Kuf is None:
+            Kuf = self.prior.cov(self.inducing_points(), x)
+        S = self.cache.S_corr
+        dt = _storage_dtype(Kuf.dtype)
+        if dt is not None:
+            Kb = Kuf.astype(dt)
+            SK = jnp.matmul(S.astype(dt), Kb, preferred_element_type=dt)
+        else:
+            Kb = Kuf
+            SK = jnp.matmul(S, Kuf, precision=config.matmul_precision)
+        corr = jnp.sum(
+            Kb.astype(jnp.promote_types(Kb.dtype, jnp.float32))
+            * SK.astype(jnp.promote_types(SK.dtype, jnp.float32)),
+            axis=0,
+        )
+        return (self.prior.var(x) + corr).astype(Kuf.dtype), Kuf
+
     def var(self, x):
+        if self.cache.S_corr is not None:
+            return self._var_via_S(x)[0]
         A, _ = self._A_and_Kuf(x)
         return (
             self.prior.var(x)
@@ -195,6 +221,10 @@ class SVGPPosterior(AbstractGP):
         return mu, S
 
     def mean_and_var(self, x):
+        if self.cache.S_corr is not None:
+            v, Kuf = self._var_via_S(x)
+            mu = self.prior.mean(x) + _matvec_f32(Kuf.T, self.cache.alpha)
+            return mu, v
         A, Kuf = self._A_and_Kuf(x)
         mu = self.prior.mean(x) + _matvec_f32(Kuf.T, self.cache.alpha)
         v = (
@@ -245,7 +275,20 @@ def _posterior_svgp(
         else:
             alpha = linalg.solve_upper_triangular(Kuu_L.T, m)
         B = q.scale_tril
-    cache = _SVGPCache(Kuu_L=Kuu_L, B=B, alpha=alpha, Lk_inv=Lk_inv)
+    S_corr = None
+    if Lk_inv is not None:
+        # three M×M matmuls, paid once per posterior (vs one extra (M, B)
+        # projection per variance evaluation — the ELBO hot path)
+        BBt = jnp.matmul(B, B.T, precision=config.matmul_precision)
+        C0 = BBt - jnp.eye(B.shape[-1], dtype=B.dtype)
+        S_corr = jnp.matmul(
+            Lk_inv.T,
+            jnp.matmul(C0, Lk_inv, precision=config.matmul_precision),
+            precision=config.matmul_precision,
+        )
+    cache = _SVGPCache(
+        Kuu_L=Kuu_L, B=B, alpha=alpha, Lk_inv=Lk_inv, S_corr=S_corr
+    )
     return SVGPPosterior(approx=sva, cache=cache)
 
 

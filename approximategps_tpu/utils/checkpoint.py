@@ -14,7 +14,12 @@ from typing import Any
 
 import jax
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
+    "AsyncCheckpointer",
+]
 
 
 def _path(ckpt_dir: str, step: int) -> str:
@@ -58,3 +63,54 @@ def restore_checkpoint(ckpt_dir: str, target: Any, step: int | None = None) -> A
     with open(_path(ckpt_dir, step), "rb") as fh:
         data = fh.read()
     return serialization.from_bytes(target, data)
+
+
+class AsyncCheckpointer:
+    """Asynchronous checkpointing: ``save()`` hands the (immutable) device
+    arrays to a background thread and returns immediately, so the
+    host→disk transfer overlaps training compute — the orbax
+    AsyncCheckpointer pattern, over the same msgpack format as
+    :func:`save_checkpoint` (restore with :func:`restore_checkpoint`).
+
+    At most ``max_pending`` saves are in flight; an extra ``save`` blocks
+    until a slot frees (backpressure instead of unbounded host memory).
+    Call ``wait()`` to make all writes durable (e.g. before evaluating or
+    exiting); the context-manager form does this on exit.
+
+    JAX arrays are immutable, so capturing them at ``save()`` time and
+    fetching (``jax.device_get``) inside the worker is race-free even while
+    the training loop keeps updating its own references."""
+
+    def __init__(self, ckpt_dir: str, max_pending: int = 1):
+        import concurrent.futures
+
+        self.ckpt_dir = ckpt_dir
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._pending: list = []
+        self._max_pending = max(1, int(max_pending))
+
+    def _drain(self, keep: int):
+        while len(self._pending) > keep:
+            fut = self._pending.pop(0)
+            fut.result()  # re-raises worker exceptions
+
+    def save(self, target: Any, step: int):
+        """Schedule an asynchronous checkpoint of ``target`` at ``step``."""
+        self._drain(self._max_pending - 1)
+        fut = self._pool.submit(save_checkpoint, self.ckpt_dir, target, step)
+        self._pending.append(fut)
+        return fut
+
+    def wait(self):
+        """Block until every scheduled checkpoint is durably on disk."""
+        self._drain(0)
+
+    def close(self):
+        self.wait()
+        self._pool.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -53,6 +53,26 @@ def test_checkpoint_roundtrip(tmp_path, key):
     np.testing.assert_allclose(restored["nested"]["b"], params["nested"]["b"])
 
 
+def test_async_checkpointer(tmp_path, key):
+    """AsyncCheckpointer overlaps writes with 'training': every scheduled
+    step lands durably, the latest restores exactly, and continued updates
+    to the live params don't corrupt earlier captures (immutability)."""
+    from approximategps_tpu.utils.checkpoint import AsyncCheckpointer, latest_step
+
+    params = {"a": jax.random.normal(key, (8,)), "s": jnp.zeros(3)}
+    saved = {}
+    with AsyncCheckpointer(str(tmp_path), max_pending=2) as ck:
+        for step in range(4):
+            saved[step] = params
+            ck.save(params, step)
+            params = jax.tree_util.tree_map(lambda x: x + 1.0, params)
+    assert latest_step(str(tmp_path)) == 3
+    template = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for step in (0, 3):
+        restored = restore_checkpoint(str(tmp_path), template, step=step)
+        np.testing.assert_allclose(restored["a"], saved[step]["a"])
+
+
 def test_svgp_params_helpers(key):
     z = jnp.linspace(0, 1, 6)
     params = init_svgp_params(z, variance=2.0, lengthscale=0.5)
