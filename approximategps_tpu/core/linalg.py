@@ -27,6 +27,7 @@ __all__ = [
     "chol_logdet",
     "At_A",
     "diag_At_A",
+    "diag_quad_sym",
     "Xt_invA_X",
     "diag_Xt_invA_X",
     "symmetrize",
@@ -112,6 +113,43 @@ def diag_At_A(A: jax.Array) -> jax.Array:
     ~sqrt(M)·eps_bf16 per entry) and returns the accumulation dtype."""
     acc = jnp.promote_types(A.dtype, jnp.float32)
     return jnp.einsum("...ij,...ij->...j", A, A, preferred_element_type=acc)
+
+
+@jax.custom_vjp
+def diag_quad_sym(S: jax.Array, K: jax.Array) -> jax.Array:
+    """diag(Kᵀ S K) for SYMMETRIC S — one (M, M)·(M, B) matmul + a fused
+    elementwise reduce (f32 accumulation).
+
+    Matmul precision follows the production policy (``_bwd_precision``).
+    The custom VJP exists for performance, not math: XLA's autodiff of the
+    naive ``sum(K * (S @ K), axis=0)`` inside remat+scan nests materializes
+    pathological intermediates (measured 1410 ms vs 273 ms for the whole
+    streaming ELBO grad at N=2²⁰ on v5e).  Closed-form pullbacks, using
+    symmetry of S:
+
+        K̄ = 2 S (K ∘ w),   S̄ = (K ∘ w) Kᵀ.
+    """
+    acc = jnp.promote_types(K.dtype, jnp.float32)
+    SK = jnp.matmul(S, K, precision=_bwd_precision(),
+                    preferred_element_type=K.dtype)
+    return jnp.einsum("ij,ij->j", K, SK, preferred_element_type=acc)
+
+
+def _diag_quad_sym_fwd(S, K):
+    return diag_quad_sym(S, K), (S, K)
+
+
+def _diag_quad_sym_bwd(res, w):
+    S, K = res
+    Kw = K * w[None, :].astype(K.dtype)
+    S_bar = jnp.matmul(Kw, K.T, precision=_bwd_precision(),
+                       preferred_element_type=S.dtype)
+    K_bar = 2.0 * jnp.matmul(S, Kw, precision=_bwd_precision(),
+                             preferred_element_type=K.dtype)
+    return S_bar.astype(S.dtype), K_bar.astype(K.dtype)
+
+
+diag_quad_sym.defvjp(_diag_quad_sym_fwd, _diag_quad_sym_bwd)
 
 
 def Xt_invA_X(L: jax.Array, X: jax.Array) -> jax.Array:

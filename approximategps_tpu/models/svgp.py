@@ -186,22 +186,18 @@ class SVGPPosterior(AbstractGP):
         )
 
     def _var_via_S(self, x, Kuf=None):
-        """prior.var + Σ_m Kuf ∘ (S Kuf) — the single-projection variance."""
+        """prior.var + diag(Kufᵀ S Kuf) — the single-projection variance,
+        through the closed-form-pullback :func:`linalg.diag_quad_sym` (S is
+        symmetric by construction; XLA autodiff of the naive form
+        materializes pathological intermediates in remat/scan nests)."""
         if Kuf is None:
             Kuf = self.prior.cov(self.inducing_points(), x)
         S = self.cache.S_corr
         dt = _storage_dtype(Kuf.dtype)
         if dt is not None:
-            Kb = Kuf.astype(dt)
-            SK = jnp.matmul(S.astype(dt), Kb, preferred_element_type=dt)
+            corr = linalg.diag_quad_sym(S.astype(dt), Kuf.astype(dt))
         else:
-            Kb = Kuf
-            SK = jnp.matmul(S, Kuf, precision=config.matmul_precision)
-        corr = jnp.sum(
-            Kb.astype(jnp.promote_types(Kb.dtype, jnp.float32))
-            * SK.astype(jnp.promote_types(SK.dtype, jnp.float32)),
-            axis=0,
-        )
+            corr = linalg.diag_quad_sym(S, Kuf)
         return (self.prior.var(x) + corr).astype(Kuf.dtype), Kuf
 
     def var(self, x):

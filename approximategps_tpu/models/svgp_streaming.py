@@ -9,9 +9,11 @@ data term is accumulated block-by-block with ``lax.scan`` + ``jax.checkpoint``
 in the backward pass instead of stored).
 
 The per-block math is identical to
-``src/SparseVariationalApproximationModule.jl:208-264``:
-``A = Lk⁻¹ Kuf`` (here a pure MXU matmul against a precomputed ``Lk⁻¹``),
-``μ = Kufᵀ α``, ``σ² = kdiag − colsum(A²) + colsum((Bᵀ A)²)``.
+``src/SparseVariationalApproximationModule.jl:208-264`` in the S-correction
+form: ``μ = Kufᵀ α``, ``σ² = kdiag + diag(Kufᵀ S Kuf)`` with
+``S = Lk⁻ᵀ(BBᵀ−I)Lk⁻¹`` formed once outside the block scan — one (M, B)
+MXU matmul per block instead of two, with closed-form pullbacks
+(:func:`~approximategps_tpu.core.linalg.diag_quad_sym`).
 """
 
 from __future__ import annotations
@@ -92,19 +94,34 @@ def streaming_data_term(
     wb = w.reshape((n_blocks, block_size))
     z = fz.x
 
+    # S-correction: variances per block need ONE (M, B) projection matmul
+    # (diag(KufᵀS Kuf)) instead of two — S formed once outside the scan
+    # (see models/svgp.py _SVGPCache.S_corr)
+    BBt = jnp.matmul(B, B.T, precision=config.matmul_precision)
+    S_corr = jnp.matmul(
+        Lk_inv.T,
+        jnp.matmul(
+            BBt - jnp.eye(B.shape[-1], dtype=B.dtype),
+            Lk_inv,
+            precision=config.matmul_precision,
+        ),
+        precision=config.matmul_precision,
+    )
+    # shard_map varying-axis typing: tie S_corr to the (data-varying) shard
+    # so the scan-transpose's S̄ cotangent carry starts with matching varying
+    # axes (same workaround as acc0 below; zero-valued, fused away)
+    S_corr = S_corr + jnp.asarray(xb.ravel()[0] * 0, dtype=S_corr.dtype)
+
     def block_ell(xi, yi, wi):
         Kuf = prior.cov(z, xi)  # (M, B) Gram — HOT
         dt = _storage_dtype(Kuf.dtype)
         if dt is not None:
             # bf16 storage for the block intermediates; f32 accumulation
-            Kuf = Kuf.astype(dt)
-            A = jnp.matmul(Lk_inv.astype(dt), Kuf, preferred_element_type=dt)
-            BtA = jnp.matmul(B.T.astype(dt), A, preferred_element_type=dt)
+            corr = linalg.diag_quad_sym(S_corr.astype(dt), Kuf.astype(dt))
         else:
-            A = jnp.matmul(Lk_inv, Kuf, precision=config.matmul_precision)
-            BtA = jnp.matmul(B.T, A, precision=config.matmul_precision)
+            corr = linalg.diag_quad_sym(S_corr, Kuf)
         mu = prior.mean(xi) + _matvec_f32(Kuf.T, alpha)
-        var = prior.var(xi) - linalg.diag_At_A(A) + linalg.diag_At_A(BtA)
+        var = (prior.var(xi) + corr).astype(Kuf.dtype)
         ell = expected_loglikelihood(quadrature, lik, mu, var, yi)
         return jnp.sum(ell * wi)
 
