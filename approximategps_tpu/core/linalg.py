@@ -127,26 +127,44 @@ def diag_quad_sym(S: jax.Array, K: jax.Array) -> jax.Array:
     streaming ELBO grad at N=2²⁰ on v5e).  Closed-form pullbacks, using
     symmetry of S:
 
-        K̄ = 2 S (K ∘ w),   S̄ = (K ∘ w) Kᵀ.
+        K̄ = 2 S (K ∘ w) = 2 (S K) ∘ w,   S̄ = (K ∘ w) Kᵀ.
+
+    ``diag(w)`` acts on the RIGHT of K, so ``K̄`` reuses the forward's
+    ``S K`` product — the backward pays ONE matmul (``S̄``), not two.
+
+    S and K must share a dtype (the ``S̄`` cotangent is emitted at K's
+    dtype without the residual carrying S).
     """
     acc = jnp.promote_types(K.dtype, jnp.float32)
-    SK = jnp.matmul(S, K, precision=_bwd_precision(),
-                    preferred_element_type=K.dtype)
+    SK = _diag_quad_sym_SK(S, K)
     return jnp.einsum("ij,ij->j", K, SK, preferred_element_type=acc)
 
 
+def _diag_quad_sym_SK(S, K):
+    if S.dtype != K.dtype:
+        raise ValueError(
+            f"diag_quad_sym requires S.dtype == K.dtype, got {S.dtype} vs "
+            f"{K.dtype}; cast them together at the call site"
+        )
+    return jnp.matmul(S, K, precision=_bwd_precision(),
+                      preferred_element_type=K.dtype)
+
+
 def _diag_quad_sym_fwd(S, K):
-    return diag_quad_sym(S, K), (S, K)
+    acc = jnp.promote_types(K.dtype, jnp.float32)
+    SK = _diag_quad_sym_SK(S, K)
+    out = jnp.einsum("ij,ij->j", K, SK, preferred_element_type=acc)
+    return out, (K, SK)
 
 
 def _diag_quad_sym_bwd(res, w):
-    S, K = res
-    Kw = K * w[None, :].astype(K.dtype)
+    K, SK = res
+    wK = w[None, :].astype(K.dtype)
+    Kw = K * wK
     S_bar = jnp.matmul(Kw, K.T, precision=_bwd_precision(),
-                       preferred_element_type=S.dtype)
-    K_bar = 2.0 * jnp.matmul(S, Kw, precision=_bwd_precision(),
-                             preferred_element_type=K.dtype)
-    return S_bar.astype(S.dtype), K_bar.astype(K.dtype)
+                       preferred_element_type=K.dtype)
+    K_bar = 2.0 * SK * wK
+    return symmetrize(S_bar).astype(K.dtype), K_bar.astype(K.dtype)
 
 
 diag_quad_sym.defvjp(_diag_quad_sym_fwd, _diag_quad_sym_bwd)
