@@ -236,6 +236,92 @@ def inducing_points(f_post: SVGPPosterior) -> jax.Array:
     return f_post.inducing_points()
 
 
+@jax.custom_vjp
+def _whitened_cache_fused(Kuu, Lq, m):
+    """NonCentered posterior cache ``(Lk, J=Lk⁻¹, α=Jᵀm, S=Jᵀ(LqLqᵀ−I)J)``
+    in one composite with a hand-derived minimal pullback.
+
+    XLA autodiff of the three-matmul S build plus the chol/inv rules costs
+    ~11 M×M backward matmuls; this pullback does it in 9, reusing
+    ``P = J·dS_sym`` across the C0-, Lq- and J-cotangents:
+
+        dSs = dS + dSᵀ;  P = J dSs;  L̄q = (P Jᵀ) Lq;
+        J̄  = C0 P + m⊗dα + dJ;      m̄ = J dα;
+        L̄k = tril(−Jᵀ J̄ Jᵀ) + tril(dLk);
+        K̄uu = sym(Jᵀ Φ(Lkᵀ L̄k) J).
+
+    Ablation-driven (round 2): the posterior build was 2.5 ms of the 4.6 ms
+    headline step at only ~72 TF/s effective; the data term already runs at
+    MXU peak.  Forward is identical to the unfused path (same op sequence),
+    so numerics don't change."""
+    from ..core.linalg import _chol_with_inv_impl
+
+    prec = config.matmul_precision
+    Lk, J = _chol_with_inv_impl(Kuu, 256)
+    alpha = J.T @ m
+    C0 = jnp.matmul(Lq, Lq.T, precision=prec) - jnp.eye(
+        Lq.shape[-1], dtype=Lq.dtype
+    )
+    S = jnp.matmul(J.T, jnp.matmul(C0, J, precision=prec), precision=prec)
+    return Lk, J, alpha, S
+
+
+def _whitened_cache_fwd(Kuu, Lq, m):
+    from ..core.linalg import _chol_with_inv_impl
+
+    prec = config.matmul_precision
+    Lk, J = _chol_with_inv_impl(Kuu.value, 256)
+    alpha = J.T @ m.value
+    C0 = jnp.matmul(Lq.value, Lq.value.T, precision=prec) - jnp.eye(
+        Lq.value.shape[-1], dtype=Lq.value.dtype
+    )
+    S = jnp.matmul(J.T, jnp.matmul(C0, J, precision=prec), precision=prec)
+    return (Lk, J, alpha, S), (Lk, J, C0, Lq.value, m.value)
+
+
+def _whitened_cache_bwd(res, cts):
+    from jax.custom_derivatives import SymbolicZero
+
+    from ..core.linalg import _chol_bwd_from_inv, _tril_inv_bwd_math
+
+    Lk, J, C0, Lq, m = res
+    dLk, dJ, dalpha, dS = cts
+    prec = config.matmul_precision
+
+    J_bar = None
+    Lq_bar = jnp.zeros_like(Lq)
+    m_bar = jnp.zeros_like(m)
+    if not isinstance(dS, SymbolicZero):
+        dSs = dS + dS.T
+        P = jnp.matmul(J, dSs, precision=prec)
+        Q = jnp.matmul(P, J.T, precision=prec)  # = C0̄ + C0̄ᵀ
+        Lq_bar = jnp.matmul(Q, Lq, precision=prec)
+        J_bar = jnp.matmul(C0, P, precision=prec)
+    if not isinstance(dalpha, SymbolicZero):
+        r1 = m[:, None] * dalpha[None, :]
+        J_bar = r1 if J_bar is None else J_bar + r1
+        m_bar = jnp.matmul(J, dalpha, precision=prec)
+    if not isinstance(dJ, SymbolicZero):
+        J_bar = dJ if J_bar is None else J_bar + dJ
+
+    Lk_bar = None
+    if J_bar is not None:
+        Lk_bar = _tril_inv_bwd_math(J, J_bar)
+    if not isinstance(dLk, SymbolicZero):
+        t = jnp.tril(dLk)
+        Lk_bar = t if Lk_bar is None else Lk_bar + t
+    if Lk_bar is None:
+        Kuu_bar = jnp.zeros_like(C0)
+    else:
+        Kuu_bar = _chol_bwd_from_inv(Lk, J, Lk_bar)
+    return Kuu_bar, Lq_bar, m_bar
+
+
+_whitened_cache_fused.defvjp(
+    _whitened_cache_fwd, _whitened_cache_bwd, symbolic_zeros=True
+)
+
+
 @posterior.register(SparseVariationalApproximation)
 def _posterior_svgp(
     sva: SparseVariationalApproximation, lfx=None, ys=None, **_
@@ -247,6 +333,18 @@ def _posterior_svgp(
         _check_consistent_prior(sva, lfx)
     q, fz = sva.q, sva.fz
     m = q.mean
+    if config.solve_mode == "inv_matmul" and not isinstance(
+        sva.parametrization, Centered
+    ):
+        # NonCentered hot path: fused composite with the minimal pullback
+        Kuu_L, Lk_inv, alpha, S_corr = _whitened_cache_fused(
+            fz.cov(), q.scale_tril, m
+        )
+        cache = _SVGPCache(
+            Kuu_L=Kuu_L, B=q.scale_tril, alpha=alpha, Lk_inv=Lk_inv,
+            S_corr=S_corr,
+        )
+        return SVGPPosterior(approx=sva, cache=cache)
     if config.solve_mode == "inv_matmul":
         # fused chol + tril-inv with a matmul-only custom VJP (no recursion
         # or triangular solves in the backward graph)
