@@ -39,6 +39,12 @@ class _Config:
     # Matmul precision for the big Gram/projection matmuls ("default",
     # "float32", "bfloat16_3x", "highest").
     matmul_precision: str = os.environ.get("AGP_MATMUL_PRECISION", "highest")
+    # SVGP data-term implementation (mu/var projection in elbo/streaming):
+    #   "auto":   fused Pallas epilogue on TPU for decomposable stationary
+    #             kernels with the S-correction cache; XLA otherwise
+    #   "pallas": force the fused epilogue (interpret mode off-TPU)
+    #   "xla":    always the XLA gram + diag_quad_sym path
+    data_term_mode: str = os.environ.get("AGP_DATA_TERM_MODE", "auto")
     # Storage dtype for the large O(M·B) projection intermediates (Kuf, A,
     # BᵀA) in the SVGP data-term path:
     #   "float32":  full-width storage (default)

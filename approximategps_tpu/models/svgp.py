@@ -416,6 +416,66 @@ def _check_consistent_prior(sva, lfx):
             )
 
 
+def _epilogue_ready(prior, S_corr, prefer=False):
+    """Static dispatch test for the fused data-term epilogue: the
+    ``unwrap_stationary`` parts if it will be used, else None.  All
+    conditions are trace-static, so callers may branch in Python on it
+    (e.g. to skip remat when the fused path is active)."""
+    mode = config.data_term_mode
+    if mode == "xla" or S_corr is None or not config.use_pallas:
+        return None
+    if mode == "auto" and (
+        not prefer
+        or jax.default_backend() != "tpu"
+        or jnp.dtype(S_corr.dtype) not in (jnp.dtype(jnp.float32),
+                                           jnp.dtype(jnp.bfloat16))
+    ):
+        return None
+    from ..core.kernels import unwrap_stationary
+
+    return unwrap_stationary(prior.kernel)
+
+
+def _epilogue_mu_var(prior, z, x, alpha, S_corr, prefer=False):
+    """(mu, var) through the fused Pallas data-term epilogue, or None.
+
+    Applicable when the S-correction cache exists, the prior kernel
+    decomposes as ``v²·g(r²(s·x, s·z))`` (``unwrap_stationary``) and the
+    config/backend allow Pallas.  With ``K = v·K0``:
+    ``mu = m(x) + v·K0ᵀα`` and ``var = prior.var + v²·diag(K0ᵀ S K0)``, so
+    the kernel takes ``ae = v·α``, ``Se = v²·S`` and scaled inputs — all
+    hyperparameter gradients flow through the four array arguments.
+
+    ``prefer`` is set by STREAMING contexts (the scan over blocks), where
+    the alternative is remat — the backward recomputes the (M, B) Gram and
+    S·K regardless, and the in-VMEM rebuild wins.  Without remat, XLA's
+    save-residuals data term is FLOP-optimal (measured: 1.20 vs 2.8 ms
+    fwd+bwd per B=8192 block for the first fused attempt), so
+    ``data_term_mode="auto"`` declines unless ``prefer`` is set —
+    ``"pallas"`` forces the fused path everywhere."""
+    parts = _epilogue_ready(prior, S_corr, prefer)
+    if parts is None:
+        return None
+    from ..core.kernels import as_points
+    from ..ops.svgp_epilogue import svgp_data_epilogue
+
+    k_of_r2, scale, variance = parts
+    xp = as_points(x)
+    zp = as_points(z)
+    Xs = xp if scale is None else xp * scale
+    Zs = zp if scale is None else zp * scale
+    if variance is None:
+        Se, ae = S_corr, alpha
+    else:
+        v = jnp.asarray(variance, S_corr.dtype)
+        Se = S_corr * (v * v)
+        ae = alpha * v
+    mu_corr, var_corr = svgp_data_epilogue(Xs, Zs, Se, ae, k_of_r2)
+    mu = prior.mean(x) + mu_corr
+    var = prior.var(x) + var_corr
+    return mu, var
+
+
 def prior_kl(sva: SparseVariationalApproximation) -> jax.Array:
     """KL(q(u) ‖ p(u)) — reference ``_prior_kl`` (``:362-373``)."""
     if isinstance(sva.parametrization, Centered):
@@ -457,7 +517,14 @@ def elbo(
     _check_consistent_prior(sva, lfx)
 
     f_post = _posterior_svgp(sva)
-    q_mean, q_var = f_post.mean_and_var(lfx.fx.x)
+    fused = _epilogue_mu_var(
+        f_post.prior, f_post.inducing_points(), lfx.fx.x,
+        f_post.cache.alpha, f_post.cache.S_corr,
+    )
+    if fused is not None:
+        q_mean, q_var = fused
+    else:
+        q_mean, q_var = f_post.mean_and_var(lfx.fx.x)
     variational_exp = expected_loglikelihood(quadrature, lfx.lik, q_mean, q_var, y)
 
     n_batch = y.shape[0]

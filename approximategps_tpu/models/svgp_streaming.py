@@ -31,6 +31,8 @@ from ..core.quadrature import DefaultExpectationMethod, expected_loglikelihood
 from .svgp import (
     Centered,
     SparseVariationalApproximation,
+    _epilogue_mu_var,
+    _epilogue_ready,
     _matvec_f32,
     _storage_dtype,
     prior_kl,
@@ -112,20 +114,33 @@ def streaming_data_term(
     # axes (same workaround as acc0 below; zero-valued, fused away)
     S_corr = S_corr + jnp.asarray(xb.ravel()[0] * 0, dtype=S_corr.dtype)
 
+    # Static dispatch: when the fused Pallas epilogue applies (prefer=remat:
+    # remat is exactly the context where its recompute-in-VMEM backward
+    # wins), the (M, B) Gram and S·K never exist outside VMEM and the
+    # custom-VJP residuals are tiny — so remat is SKIPPED for the block
+    # (wrapping the fused op in jax.checkpoint would re-run its forward
+    # kernel in the backward for nothing).
+    use_fused = _epilogue_ready(prior, S_corr, prefer=remat) is not None
+
     def block_ell(xi, yi, wi):
-        Kuf = prior.cov(z, xi)  # (M, B) Gram — HOT
-        dt = _storage_dtype(Kuf.dtype)
-        if dt is not None:
-            # bf16 storage for the block intermediates; f32 accumulation
-            corr = linalg.diag_quad_sym(S_corr.astype(dt), Kuf.astype(dt))
+        if use_fused:
+            mu, var = _epilogue_mu_var(prior, z, xi, alpha, S_corr,
+                                       prefer=remat)
+            var = var.astype(xi.dtype)
         else:
-            corr = linalg.diag_quad_sym(S_corr, Kuf)
-        mu = prior.mean(xi) + _matvec_f32(Kuf.T, alpha)
-        var = (prior.var(xi) + corr).astype(Kuf.dtype)
+            Kuf = prior.cov(z, xi)  # (M, B) Gram — HOT
+            dt = _storage_dtype(Kuf.dtype)
+            if dt is not None:
+                # bf16 storage for the block intermediates; f32 accumulation
+                corr = linalg.diag_quad_sym(S_corr.astype(dt), Kuf.astype(dt))
+            else:
+                corr = linalg.diag_quad_sym(S_corr, Kuf)
+            mu = prior.mean(xi) + _matvec_f32(Kuf.T, alpha)
+            var = (prior.var(xi) + corr).astype(Kuf.dtype)
         ell = expected_loglikelihood(quadrature, lik, mu, var, yi)
         return jnp.sum(ell * wi)
 
-    if remat:
+    if remat and not use_fused:
         block_ell = jax.checkpoint(block_ell)
 
     def scan_body(acc, xyw):
