@@ -185,3 +185,46 @@ def test_dp_streaming_elbo_uneven_n():
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-9)
     for k in g1:
         np.testing.assert_allclose(g2[k], g1[k], rtol=1e-7, atol=1e-10)
+
+
+def test_stretch_pipeline_whitened_natgrad_dp():
+    """The v5e-16 stretch recipe end-to-end on the virtual mesh (BASELINE.md
+    stretch row: "data-parallel ELBO via psum, whitened + natural-gradient
+    updates"): a WHITENED (NonCentered) SVGP, dp_streaming_elbo over 8
+    devices with uneven N, variational (m, S) updated by ONE natural-gradient
+    step with lr=1 — which for a conjugate Gaussian likelihood lands exactly
+    on the optimal q, so the DP ELBO afterwards equals the collapsed Titsias
+    bound (vfe_elbo)."""
+    from approximategps_tpu.models.svgp_streaming import dp_streaming_elbo
+    from approximategps_tpu.models.vfe import VFE, vfe_elbo
+    from approximategps_tpu.utils.training import natgrad_update
+
+    mesh = data_mesh()
+    x, y = _data(N=61)
+    N = len(y)
+    M = 8
+    z = jnp.linspace(0, 10, M)
+    noise = 0.1
+    lik = agp.GaussianLikelihood(noise)
+    kernel = 1.3 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.9)
+    f = agp.GP(kernel)
+    fz = f(z, 1e-8)
+
+    def dp_elbo_mS(m, S):
+        L = jnp.linalg.cholesky(S)
+        q = agp.MultivariateNormal(m, L)
+        sva = agp.SparseVariationalApproximation(fz, q)  # NonCentered
+        return dp_streaming_elbo(sva, lik, x, y, mesh, block_size=16,
+                                 num_data=N)
+
+    m0 = 0.3 * jnp.ones(M)
+    S0 = 2.0 * jnp.eye(M)
+    e0, (gm, gS) = jax.jit(
+        jax.value_and_grad(dp_elbo_mS, argnums=(0, 1))
+    )(m0, S0)
+    m1, L1 = natgrad_update(m0, jnp.linalg.cholesky(S0), gm, gS, lr=1.0)
+    e1 = jax.jit(dp_elbo_mS)(m1, L1 @ L1.T)
+    assert float(e1) > float(e0)
+    # one conjugate natgrad step is exactly optimal → ELBO == collapsed bound
+    bound = vfe_elbo(VFE(fz), f(x, noise), y)
+    np.testing.assert_allclose(float(e1), float(bound), rtol=1e-8)
