@@ -200,6 +200,13 @@ class SqExponentialKernel(StationaryKernel):
     def k_of_r2(r2):
         return jnp.exp(-0.5 * r2)
 
+    @staticmethod
+    def dk_from_k(k):
+        """g'(r²) expressed through g(r²) — lets fused-kernel backwards
+        reuse a stored K tile instead of rebuilding r² and re-running the
+        transcendental map."""
+        return -0.5 * k
+
 
 SEKernel = SqExponentialKernel
 RBFKernel = SqExponentialKernel
@@ -385,6 +392,19 @@ def with_lengthscale(kernel: Kernel, lengthscale: jax.Array) -> Kernel:
     """KernelFunctions.with_lengthscale: k((x - z) / lengthscale)."""
     l = jnp.asarray(lengthscale)
     return InputScaledKernel(kernel, 1.0 / l)
+
+
+def dk_from_k_for(k_of_r2_fn):
+    """The g'(r²)-through-g(r²) shortcut for a static stationary map, or
+    None.  Fused Pallas backwards use it to turn the kernel-map pullback
+    into one elementwise multiply on an already-stored K tile (no r²
+    rebuild, no transcendental recompute)."""
+    return _DK_FROM_K.get(k_of_r2_fn)
+
+
+_DK_FROM_K = {
+    SqExponentialKernel.k_of_r2: SqExponentialKernel.dk_from_k,
+}
 
 
 def unwrap_stationary(kern: Kernel):

@@ -239,7 +239,7 @@ def _r2_tile(zs_tile, xs, acc):
 
 
 def _bwd_fused(Xp, Zp, Sp, ap, dvar_p, dmu_p, k_of_r2, block_b, block_m,
-               io_dtype, interpret):
+               io_dtype, interpret, dk_from_k=None):
     """All four cotangents in ONE grid sweep (nJ outer, nA fastest).
 
     K is built in VMEM once per batch block (the first design rebuilt it
@@ -296,11 +296,15 @@ def _bwd_fused(Xp, Zp, Sp, ap, dvar_p, dmu_p, k_of_r2, block_b, block_m,
         ).astype(aebar_ref.dtype)
 
         # ---- K_bar chain: W = (2(Se·K)∘dvar + ae⊗dmu) ∘ g'(r²) ----------
-        r2 = _r2_tile(zs_tile, xs, acc)
         t_tile = jnp.dot(se_ref[:], k_scr[:], preferred_element_type=acc)
         ae_tile = ae_ref[pl.ds(ia * block_m, block_m), :].astype(acc)
         k_bar = 2.0 * t_tile * dvar + ae_tile * dmu
-        _g, w = _g_and_gprime(k_of_r2, r2, k_bar)
+        if dk_from_k is not None:
+            # g' through the stored K tile: no r² rebuild, no transcendental
+            w = k_bar * dk_from_k(k_rows)
+        else:
+            r2 = _r2_tile(zs_tile, xs, acc)
+            _g, w = _g_and_gprime(k_of_r2, r2, k_bar)
 
         cw_scr[:] = cw_scr[:] + jnp.sum(w, axis=0, keepdims=True)
         # Wᵀ·Zs tile: contract the block_m axis of both (TN matmul)
@@ -404,8 +408,11 @@ def _epilogue_bwd(k_of_r2, block_b, block_m, res, cts):
     dvar_p = jnp.zeros((1, Bp), Xs.dtype).at[0, :B].set(dvar)
     dmu_p = jnp.zeros((1, Bp), Xs.dtype).at[0, :B].set(dmu)
 
+    from ..core.kernels import dk_from_k_for
+
     xsbar, zsbar, sebar, aebar = _bwd_fused(
-        Xp, Zp, Sp, ap, dvar_p, dmu_p, k_of_r2, bb, bm, Xs.dtype, interpret
+        Xp, Zp, Sp, ap, dvar_p, dmu_p, k_of_r2, bb, bm, Xs.dtype, interpret,
+        dk_from_k=dk_from_k_for(k_of_r2),
     )
     # centering shift: r² is invariant to the joint shift c, and c depends
     # on mean(Xs)/mean(Zs) — but Σ_j Xs_bar_j + Σ_a Zs_bar_a = 0 exactly
