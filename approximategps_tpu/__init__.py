@@ -103,6 +103,9 @@ from .models import (
     inducing_points,
     laplace_f_and_lml,
     laplace_lml,
+    LaplaceCG,
+    laplace_lml_cg,
+    newton_inner_loop_cg,
     laplace_steps,
     laplace_steps_scan,
     newton_inner_loop,

@@ -1,8 +1,14 @@
-from . import api, block_vecchia, iterative, laplace, multi_latent, sampling, svgp, svgp_streaming, vecchia, vfe
+from . import api, block_vecchia, iterative, laplace, laplace_cg, multi_latent, sampling, svgp, svgp_streaming, vecchia, vfe
 from .iterative import cg_solve, logpdf_slq, posterior_cg
 from .sampling import rff_features, sample_svgp_functions
 from .svgp_streaming import dp_streaming_elbo, streaming_elbo
 from .api import approx_lml, posterior
+from .laplace_cg import (
+    LaplaceCG,
+    LaplaceCGPosterior,
+    laplace_lml_cg,
+    newton_inner_loop_cg,
+)
 from .laplace import (
     LaplaceApproximation,
     LaplacePosterior,

@@ -260,6 +260,39 @@ def vecchia_build(N=1_000_000, k=32, block=8192, iters=3):
     return chained_step_ms(make_run, iters=iters)
 
 
+def laplace_cg_mode(N=20000, iters=2):
+    """Matrix-free Laplace mode-finding at a size where the dense path needs
+    a 1.6 GB gram + an O(N^3) Cholesky per Newton step."""
+    import approximategps_tpu as agp
+    from approximategps_tpu.models.laplace_cg import newton_inner_loop_cg
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (N, 2), dtype=dtype) * 10
+    y = (jax.random.uniform(jax.random.fold_in(key, 1), (N,)) > 0.5).astype(
+        jnp.int32
+    )
+    lik = agp.BernoulliLikelihood()
+    kern = 1.5 * agp.with_lengthscale(agp.SqExponentialKernel(), 1.2)
+
+    def make_run(n):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                f = newton_inner_loop_cg(
+                    lik, y, kern, x + c * 0, maxiter=15, tol=1e-4,
+                    cg_tol=1e-4, cg_maxiter=200, block_size=4096,
+                )
+                return jnp.sum(f) * 1e-20, 0.0
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+
+        return partial(run, x)
+
+    return chained_step_ms(make_run, iters=iters)
+
+
 def poisson_svgp(M=1024, batch=8192, num_data=100_000, iters=10):
     """BASELINE.json config #3: non-conjugate SVGP, Poisson likelihood,
     analytic expected-LL (exp link), minibatch Adam step."""
@@ -414,6 +447,7 @@ def main():
             ("vecchia_band_build_ms(N=1e6,k=32)", vecchia_build),
             ("block_vecchia_lml_ms(N=1e6,b=64,k=64)", block_vecchia_lml),
             ("laplace_newton_lml_grad_ms(N=5000)", laplace_n5k),
+            ("laplace_cg_newton_mode_ms(N=2e4,blocked)", laplace_cg_mode),
             ("poisson_svgp_elbo_grad_step_ms(N=1e5,M=1024,B=8192)", poisson_svgp),
         ]:
             try:
