@@ -1,6 +1,6 @@
 from . import api, block_vecchia, iterative, laplace, laplace_cg, multi_latent, sampling, svgp, svgp_streaming, vecchia, vfe
 from .iterative import cg_solve, logpdf_slq, posterior_cg
-from .sampling import rff_features, sample_svgp_functions
+from .sampling import rff_features, sample_posterior_functions_cg, sample_svgp_functions
 from .svgp_streaming import dp_streaming_elbo, streaming_elbo
 from .api import approx_lml, posterior
 from .laplace_cg import (

@@ -37,7 +37,7 @@ from ..core.kernels import (
 )
 from .svgp import Centered, SVGPPosterior
 
-__all__ = ["unwrap_stationary", "rff_features", "sample_svgp_functions"]
+__all__ = ["unwrap_stationary", "rff_features", "sample_svgp_functions", "sample_posterior_functions_cg"]
 
 _MATERN_DF = {Matern12Kernel: 1.0, Matern32Kernel: 3.0, Matern52Kernel: 5.0}
 
@@ -136,5 +136,70 @@ def sample_svgp_functions(
         Kxz = prior.cov(X, Z)  # (N, M)
         update = alpha @ Kxz.T  # (S, N)
         return prior.mean(X)[None, :] + prior_path + update
+
+    return fs
+
+
+def sample_posterior_functions_cg(
+    key: jax.Array,
+    fx,
+    y: jax.Array,
+    num_samples: int,
+    num_features: int = 1024,
+    tol: float = 1e-6,
+    maxiter: int = 1000,
+    block_size: int | None = None,
+    precond_rank: int = 0,
+) -> Callable[[jax.Array], jax.Array]:
+    """Matheron-rule pathwise samples from an EXACT GP posterior, with the
+    data-update solve done by (preconditioned) conjugate gradients — the
+    iterative-engine counterpart of :func:`sample_svgp_functions`
+    (Wilson et al. 2020, eq. 7):
+
+        f_post(·) = f_prior(·) + K(·,X)(K + σ²I)⁻¹(y − f_prior(X) − ε)
+
+    with f_prior an RFF path and ε ~ N(0, σ²I).  K is only accessed through
+    chunked matvecs (O(N·block) memory), all ``num_samples`` right-hand
+    sides iterate in one block-CG solve, and evaluating a sample costs
+    O(F + N·block-matmul) per query block — no N×N factorization anywhere.
+
+    Returns ``fs(x) -> (num_samples, N_x)``.
+    """
+    from .iterative import (
+        cg_solve,
+        kernel_matvec,
+        pivoted_cholesky,
+        woodbury_preconditioner,
+    )
+
+    prior = fx.f
+    X = as_points(fx.x)
+    N, D = X.shape
+    noise = jnp.asarray(fx.noise)
+    if noise.ndim > 0:
+        raise ValueError("sample_posterior_functions_cg requires isotropic noise")
+    k_phi, k_w, k_eps = jax.random.split(key, 3)
+
+    phi = rff_features(k_phi, prior.kernel, D, num_features)
+    w = jax.random.normal(k_w, (num_samples, num_features), dtype=X.dtype)
+    eps = jnp.sqrt(noise) * jax.random.normal(
+        k_eps, (num_samples, N), dtype=X.dtype
+    )
+
+    matvec = kernel_matvec(prior.kernel, X, noise, block_size)
+    M_inv = None
+    if precond_rank > 0:
+        Lk = pivoted_cholesky(prior.kernel, X, precond_rank)
+        M_inv = woodbury_preconditioner(Lk, noise)
+
+    f_prior_X = w @ phi(X).T  # (S, N)
+    resid = y[None, :] - fx.mean()[None, :] - f_prior_X - eps  # (S, N)
+    V = cg_solve(matvec, resid.T, tol=tol, maxiter=maxiter, M_inv=M_inv)  # (N, S)
+
+    def fs(x: jax.Array) -> jax.Array:
+        Xq = as_points(x)
+        prior_path = w @ phi(Xq).T  # (S, N_x)
+        Kxq = prior.cov(X, Xq)  # (N, N_x)
+        return prior.mean(Xq)[None, :] + prior_path + V.T @ Kxq
 
     return fs

@@ -74,3 +74,28 @@ def test_pathwise_noncentered_matches_centered(key):
     mu, var = post_n.mean_and_var(xt)
     np.testing.assert_allclose(samples.mean(axis=0), np.asarray(mu), atol=0.1)
     np.testing.assert_allclose(samples.var(axis=0), np.asarray(var), atol=0.1)
+
+
+def test_cg_pathwise_samples_match_exact_posterior(key):
+    """Matheron CG samples (iterative engine) reproduce the exact posterior
+    moments, including with chunked matvecs and a preconditioner."""
+    from approximategps_tpu.models.sampling import sample_posterior_functions_cg
+
+    k1, k2 = jax.random.split(key)
+    N = 24
+    kern = 1.5 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.8)
+    f = agp.GP(kern)
+    x = jnp.linspace(0, 4, N)
+    fx = f(x, 0.05)
+    y = fx.sample(k1)
+    exact = agp.posterior(fx, y)
+
+    fs = sample_posterior_functions_cg(
+        k2, fx, y, num_samples=4000, num_features=4096, tol=1e-10,
+        block_size=8, precond_rank=6,
+    )
+    xt = jnp.linspace(-0.5, 4.5, 13)
+    samples = fs(xt)
+    mu, var = exact.mean_and_var(xt)
+    np.testing.assert_allclose(samples.mean(axis=0), np.asarray(mu), atol=0.1)
+    np.testing.assert_allclose(samples.var(axis=0), np.asarray(var), atol=0.1)
