@@ -166,14 +166,17 @@ def headline(M=2048, batch=8192, D=8, num_data=1_000_000, iters=30, repeats=5):
         return (p, s), val
 
     def make_run(n):
+        # params/opt_state as jit ARGUMENTS: at M=8192 the (M, M) variational
+        # factor is 256 MB and baked-in constants overflow the remote compile
+        # helper's payload limit (HTTP 413)
         @jax.jit
-        def run():
+        def run(params, opt_state):
             (p, _), vals = jax.lax.scan(
                 train_step, (params, opt_state), jnp.arange(n)
             )
             return vals[-1] + jnp.sum(p["m"]) * 0.0
 
-        return run
+        return partial(run, params, opt_state)
 
     ms, stats = chained_step_ms(make_run, iters=iters, repeats=repeats)
 
