@@ -62,16 +62,25 @@ def cg_solve(
 
     def body(state):
         X, R, P, rz, i = state
+        # Freeze columns that have converged: with a shared trip count,
+        # a finished column's rz/denom is rounding noise over rounding
+        # noise — in f32 the resulting alpha garbage made the whole block
+        # DIVERGE (measured relres 8e5 at N=2e4 with 16 RHS while the
+        # single-RHS solve converged in 12 iterations).
+        res = jnp.linalg.norm(R, axis=0) / b_norm
+        active = (res > tol).astype(R.dtype)
         AP = matvec(P)
         denom = jnp.sum(P * AP, axis=0)
-        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        # denom ≤ 0 only via rounding on a frozen/stagnated column
+        alpha = active * rz / jnp.where(denom <= 0, 1.0, denom)
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * AP
         Z = M_inv(R)
         rz_new = jnp.sum(R * Z, axis=0)
-        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        P = Z + beta[None, :] * P
-        return X, R, P, rz_new, i + 1
+        beta = active * rz_new / jnp.where(rz == 0, 1.0, rz)
+        P = jnp.where(active[None, :] > 0, Z + beta[None, :] * P, P)
+        rz = jnp.where(active > 0, rz_new, rz)
+        return X, R, P, rz, i + 1
 
     X, R, P, rz, i = jax.lax.while_loop(cond, body, (X0, R0, P0, rz0, jnp.int32(0)))
     if return_info:
@@ -89,19 +98,29 @@ def pivoted_cholesky(kernel, x: jax.Array, rank: int) -> jax.Array:
     N = X.shape[0]
     d0 = kernel.diag(X)
     dtype = d0.dtype
+    # RELATIVE pivot floor: once the residual diagonal reaches dtype-noise
+    # level, the computed residual row is pure cancellation error and
+    # dividing by √(tiny) injects O(1/√eps)-scale garbage columns — in f32
+    # at N~2·10⁴ this made the Woodbury-preconditioned CG DIVERGE (resid
+    # growing 10⁵×).  Columns below the floor are truncated to zero (the
+    # preconditioner just loses rank, staying SPD via the σ²I term).
+    pivot_floor = max(float(N), 100.0) * float(jnp.finfo(dtype).eps) * float(
+        1.0
+    )
+    dmax0 = jnp.max(d0)
 
     def body(j, carry):
         L, d = carry
         i = jnp.argmax(d)
         di = d[i]
-        # guard: residual diagonal can hit ~0 before `rank` columns
+        valid = di > pivot_floor * dmax0
         safe = jnp.maximum(di, jnp.finfo(dtype).tiny)
         xi = jax.lax.dynamic_slice_in_dim(X, i, 1, axis=0)  # (1, D)
         row = kernel.gram(X, xi)[:, 0]  # K[:, i]
         # full precision: f32 residual cancellation otherwise degrades the
         # factor enough to stall preconditioned CG (skinny matmul — cheap)
         corr = jnp.matmul(L, L[i], precision="highest")
-        col = jnp.where(di > 0, (row - corr) / jnp.sqrt(safe), 0.0)
+        col = jnp.where(valid, (row - corr) / jnp.sqrt(safe), 0.0)
         L = L.at[:, j].set(col)
         d = jnp.maximum(d - col * col, 0.0)
         d = d.at[i].set(0.0)
@@ -151,12 +170,18 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None):
             return noise_arr[:, None] * V
         return noise_arr @ V
 
+    # K·V at precision="highest" ALWAYS: on TPU the default matmul runs
+    # bf16 passes, and CG amplifies matvec noise — measured on v5e at
+    # N=2·10⁴: the per-column residual stalls at ~1e-3 (above tol) and the
+    # block solve then diverges, while the identical math converges on CPU
+    # f32.  The 3-6× matmul-pass cost is the price of a correct solver.
     if block_size is None or block_size >= N:
         def matvec(V):
             vec = V.ndim == 1
             if vec:
                 V = V[:, None]
-            out = kernel.gram(X) @ V + noise_apply(V)
+            out = jnp.matmul(kernel.gram(X), V, precision="highest")
+            out = out + noise_apply(V)
             return out[:, 0] if vec else out
 
         return matvec
@@ -173,7 +198,7 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None):
             V = V[:, None]
 
         def block(xb):
-            return kernel.gram(xb, X) @ V  # (bs, R)
+            return jnp.matmul(kernel.gram(xb, X), V, precision="highest")
 
         out = jax.lax.map(block, Xb).reshape(n_blocks * bs, V.shape[1])[:N]
         out = out + noise_apply(V)
@@ -205,9 +230,13 @@ class CGPosterior:
         self.alpha = cg_solve(self._matvec, delta, tol, maxiter, M_inv=self._M_inv)
         self.delta = delta
 
+    # NOTE all train-cross products below run precision="highest": alpha/V
+    # carry a 1/σ² amplification of rough components and the products
+    # cancel heavily — TPU bf16 passes leave O(1) noise otherwise.
     def mean(self, xs):
         Kxs = self.prior.cov(self.x, xs)
-        return self.prior.mean(xs) + Kxs.T @ self.alpha
+        return self.prior.mean(xs) + jnp.matmul(Kxs.T, self.alpha,
+                                                precision="highest")
 
     def _solved_cross(self, xs):
         Kxs = self.prior.cov(self.x, xs)  # (N, N*)
@@ -217,10 +246,10 @@ class CGPosterior:
     def cov(self, xs, zs=None):
         if zs is None:
             Kxs, V = self._solved_cross(xs)
-            return self.prior.cov(xs) - Kxs.T @ V
+            return self.prior.cov(xs) - jnp.matmul(Kxs.T, V, precision="highest")
         Kxs, V = self._solved_cross(xs)
         Kzs = self.prior.cov(self.x, zs)
-        return self.prior.cov(xs, zs) - V.T @ Kzs
+        return self.prior.cov(xs, zs) - jnp.matmul(V.T, Kzs, precision="highest")
 
     def var(self, xs):
         Kxs, V = self._solved_cross(xs)
@@ -228,13 +257,15 @@ class CGPosterior:
 
     def mean_and_var(self, xs):
         Kxs, V = self._solved_cross(xs)
-        mu = self.prior.mean(xs) + Kxs.T @ self.alpha
+        mu = self.prior.mean(xs) + jnp.matmul(Kxs.T, self.alpha,
+                                              precision="highest")
         return mu, self.prior.var(xs) - jnp.sum(Kxs * V, axis=0)
 
     def mean_and_cov(self, xs):
         Kxs, V = self._solved_cross(xs)
-        mu = self.prior.mean(xs) + Kxs.T @ self.alpha
-        return mu, self.prior.cov(xs) - Kxs.T @ V
+        mu = self.prior.mean(xs) + jnp.matmul(Kxs.T, self.alpha,
+                                              precision="highest")
+        return mu, self.prior.cov(xs) - jnp.matmul(Kxs.T, V, precision="highest")
 
 
 def posterior_cg(fx: FiniteGP, y, tol=1e-8, maxiter=1000, block_size=None,

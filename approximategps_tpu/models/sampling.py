@@ -200,6 +200,11 @@ def sample_posterior_functions_cg(
         Xq = as_points(x)
         prior_path = w @ phi(Xq).T  # (S, N_x)
         Kxq = prior.cov(X, Xq)  # (N, N_x)
-        return prior.mean(Xq)[None, :] + prior_path + V.T @ Kxq
+        # highest precision: V ~ resid/σ² is large and rough, and the update
+        # term cancels the prior path almost exactly — bf16 product rounding
+        # on TPU left O(prior-scale) noise in the samples (measured: sample
+        # std 1.11 vs true posterior std ~0.01 at N=2·10⁴)
+        update = jnp.matmul(V.T, Kxq, precision="highest")
+        return prior.mean(Xq)[None, :] + prior_path + update
 
     return fs
