@@ -315,18 +315,38 @@ def logpdf_slq(
 ) -> jax.Array:
     """Exact log marginal likelihood with the logdet estimated by stochastic
     Lanczos quadrature: logdet(A) ≈ (N/P) Σ_p eᵀ₁ f(T_p) e₁ with f = log on
-    the Lanczos tridiagonal of each Rademacher probe."""
+    the Lanczos tridiagonal of each Rademacher probe.
+
+    DIFFERENTIABLE w.r.t. kernel hyperparameters, inputs, noise and targets
+    through a stochastic-trace custom VJP (the GPyTorch training estimator,
+    Gardner et al. 2018 §2.2):
+
+        ∂ logdet K̂ / ∂θ = tr(K̂⁻¹ ∂K̂) ≈ (1/P) Σ_p w_pᵀ (∂K̂) z_p,
+        w_p = K̂⁻¹ z_p (one extra block-CG solve, paid only in the backward)
+
+    using the SAME probes as the value, so a fixed key gives a consistent
+    deterministic objective for the optimiser.  This is what makes exact-GP
+    hyperparameter training run at matrix-free scale."""
+    n = len(fx)
+    dtype = jnp.result_type(y, jnp.float32)
+    probes = (
+        jax.random.rademacher(key, (num_probes, n), dtype=dtype)
+        if hasattr(jax.random, "rademacher")
+        else jnp.sign(jax.random.normal(key, (num_probes, n), dtype=dtype))
+    )
+    return _logpdf_slq_core(
+        lanczos_iters, cg_tol, cg_maxiter, block_size, fx, y, probes
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, fx, y,
+                     probes):
     n = len(fx)
     matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
     delta = y - fx.mean()
     alpha = cg_solve(matvec, delta, cg_tol, cg_maxiter)
     quad = delta @ alpha
-
-    probes = (
-        jax.random.rademacher(key, (num_probes, n), dtype=delta.dtype)
-        if hasattr(jax.random, "rademacher")
-        else jnp.sign(jax.random.normal(key, (num_probes, n), dtype=delta.dtype))
-    )
 
     def probe_logdet(v):
         alphas, betas = _lanczos(matvec, v, lanczos_iters)
@@ -338,3 +358,41 @@ def logpdf_slq(
 
     logdet = jnp.mean(jax.vmap(probe_logdet)(probes))
     return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+
+
+def _logpdf_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size, fx, y,
+                    probes):
+    val = _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size,
+                           fx, y, probes)
+    # alpha is recomputed in the backward (one CG) so the forward stores
+    # only the inputs — keeps remat/scan memory flat
+    return val, (fx, y, probes)
+
+
+def _logpdf_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size, res, ct):
+    fx, y, probes = res
+    matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
+    delta = jax.lax.stop_gradient(y - fx.mean())
+    alpha = jax.lax.stop_gradient(cg_solve(matvec, delta, cg_tol, cg_maxiter))
+    W = jax.lax.stop_gradient(
+        cg_solve(matvec, probes.T, cg_tol, cg_maxiter)
+    )  # (n, P): w_p = K̂⁻¹ z_p
+
+    def surrogate(fx_, y_, probes_):
+        # value == logpdf at the evaluation point; gradient == the
+        # stochastic-trace estimator with (alpha, W) frozen:
+        #   quad_sur  = 2 αᵀδ(θ) − αᵀ K̂(θ) α      (d = 2αᵀ∂δ − αᵀ∂K̂ α)
+        #   trace_sur = (1/P) Σ_p w_pᵀ K̂(θ) z_p    (d = Hutchinson ∂logdet)
+        mv = kernel_matvec(fx_.f.kernel, fx_.x, fx_.noise, block_size)
+        delta_ = y_ - fx_.mean()
+        quad_sur = 2.0 * (alpha @ delta_) - alpha @ mv(alpha)
+        trace_sur = jnp.mean(jnp.sum(W * mv(probes_.T), axis=0))
+        n = delta_.shape[0]
+        return -0.5 * (quad_sur + trace_sur + n * jnp.log(2.0 * jnp.pi))
+
+    _, vjp = jax.vjp(surrogate, fx, y, probes)
+    dfx, dy, dprobes = vjp(ct)
+    return dfx, dy, dprobes
+
+
+_logpdf_slq_core.defvjp(_logpdf_slq_fwd, _logpdf_slq_bwd)
