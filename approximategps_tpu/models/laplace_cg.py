@@ -14,12 +14,12 @@ Laplace); the BBMM composition follows Gardner et al. (2018) (PAPERS.md).
 
 Scope: mode finding (IFT-differentiable — the same fixed-point custom VJP
 as the dense module, with CG in the pullback), predictions (RW 3.21/3.29
-via batched CG), and the ``approx_lml`` VALUE with the logdet from
-stochastic Lanczos quadrature.  The SLQ lml is **not differentiable** —
-hyperparameter learning at matrix-free scale needs stochastic trace
-estimates of the ∂logdet terms, which is out of scope here; use the dense
-:func:`~approximategps_tpu.models.laplace.laplace_lml` (N ≲ 2·10⁴) or SVGP
-for hyperopt at scale.
+via batched CG), and a fully DIFFERENTIABLE ``approx_lml``: the logdet term
+is stochastic Lanczos quadrature with a stochastic-trace custom VJP
+(Hutchinson ∂logdet, one extra block-CG in the backward), the explicit and
+implicit (RW 5.23) terms compose through the differentiable fixed-point
+cache recompute exactly as in the dense module — so Laplace hyperparameter
+training runs at matrix-free scale too.
 """
 
 from __future__ import annotations
@@ -186,6 +186,61 @@ def newton_inner_loop_cg(
     return (f_opt, n_iter) if return_niter else f_opt
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
+                  Wsqrt, kern, x, probes):
+    """logdet(I + √W K √W) by stochastic Lanczos quadrature, with the same
+    stochastic-trace custom VJP as :func:`iterative.logpdf_slq`:
+
+        ∂ logdet B = tr(B⁻¹ ∂B) ≈ (1/P) Σ_p (B⁻¹z_p)ᵀ (∂B) z_p,
+
+    the per-probe solves done by one block-CG in the backward only.
+    Differentiable w.r.t. ``Wsqrt`` (→ f̂ via the Newton IFT), the kernel
+    hyperparameters and the inputs."""
+    kmv = _k_matvec(kern, x, block_size)
+    bmv = _b_matvec(kmv, Wsqrt)
+    n = Wsqrt.shape[0]
+
+    def probe_logdet(v):
+        alphas, betas = _lanczos(bmv, v, lanczos_iters)
+        T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, 1e-30)
+        tau = evecs[0, :] ** 2
+        return jnp.sum(tau * jnp.log(evals)) * n
+
+    return jnp.mean(jax.vmap(probe_logdet)(probes))
+
+
+def _logdet_B_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size,
+                      Wsqrt, kern, x, probes):
+    val = _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
+                        Wsqrt, kern, x, probes)
+    return val, (Wsqrt, kern, x, probes)
+
+
+def _logdet_B_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size,
+                      res, ct):
+    Wsqrt, kern, x, probes = res
+    kmv = _k_matvec(kern, x, block_size)
+    bmv = _b_matvec(kmv, Wsqrt)
+    W_solves = jax.lax.stop_gradient(
+        cg_solve(bmv, probes.T, tol=cg_tol, maxiter=cg_maxiter)
+    )  # (n, P)
+
+    def surrogate(Wsqrt_, kern_, x_, probes_):
+        mv = _k_matvec(kern_, x_, block_size)
+        bz = probes_.T + Wsqrt_[:, None] * mv(Wsqrt_[:, None] * probes_.T)
+        return jnp.mean(jnp.sum(W_solves * bz, axis=0))
+
+    _, vjp = jax.vjp(surrogate, Wsqrt, kern, x, probes)
+    dW, dk, dx, dp = vjp(ct)
+    return dW, dk, dx, dp
+
+
+_logdet_B_slq.defvjp(_logdet_B_slq_fwd, _logdet_B_slq_bwd)
+
+
 def laplace_lml_cg(
     lik,
     ys,
@@ -196,36 +251,37 @@ def laplace_lml_cg(
     num_probes: int = 16,
     lanczos_iters: int = 30,
     block_size: int | None = None,
+    cg_tol: float = 1e-6,
+    cg_maxiter: int = 1000,
     **newton_kwargs,
 ):
-    """Laplace approx-lml VALUE with the ½·logdet(B) term from stochastic
-    Lanczos quadrature on ``B = I + √W K √W`` (Ubaru et al. 2017) — no
-    N×N matrix, no Cholesky.  NOT differentiable (see module docstring)."""
+    """Laplace approx-lml with the ½·logdet(B) term from stochastic Lanczos
+    quadrature on ``B = I + √W K √W`` (Ubaru et al. 2017) — no N×N matrix,
+    no Cholesky.
+
+    DIFFERENTIABLE: the mode flows through the Newton IFT custom VJP, the
+    explicit terms through the differentiable cache recompute at the fixed
+    point (capturing the RW 5.23 implicit corrections automatically, just
+    like the dense module), and the logdet through the stochastic-trace VJP
+    of :func:`_logdet_B_slq` — one extra block-CG in the backward.  A fixed
+    ``key`` gives a consistent deterministic objective for the optimiser."""
     x = as_points(x)
     if f_opt is None:
         f_opt = newton_inner_loop_cg(lik, ys, kern, x,
-                                     block_size=block_size, **newton_kwargs)
-    f_opt = jax.lax.stop_gradient(f_opt)
-    kmv = _k_matvec(kern, x, block_size)
+                                     block_size=block_size,
+                                     cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+                                     **newton_kwargs)
     ll, d_ll, d2_ll = lik.log_prob_d1_d2(f_opt, ys)
     Wsqrt = jnp.sqrt(-d2_ll)
-    bmv = _b_matvec(kmv, Wsqrt)
     # a = K⁻¹f̂ = ∇ll at the fixed point (f̂ = K ∇ll)
     a = d_ll
     n = ys.shape[0]
     probes = jnp.sign(
         jax.random.normal(key, (num_probes, n), dtype=f_opt.dtype)
     )
-
-    def probe_logdet(v):
-        alphas, betas = _lanczos(bmv, v, lanczos_iters)
-        T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
-        evals, evecs = jnp.linalg.eigh(T)
-        evals = jnp.maximum(evals, 1e-30)
-        tau = evecs[0, :] ** 2
-        return jnp.sum(tau * jnp.log(evals)) * n
-
-    logdet_B = jnp.mean(jax.vmap(probe_logdet)(probes))
+    logdet_B = _logdet_B_slq(
+        lanczos_iters, cg_tol, cg_maxiter, block_size, Wsqrt, kern, x, probes
+    )
     return -0.5 * (a @ f_opt) + jnp.sum(ll) - 0.5 * logdet_B
 
 
@@ -234,8 +290,9 @@ class LaplaceCG:
     """Matrix-free Laplace approximation config (the iterative-engine
     counterpart of :class:`~approximategps_tpu.models.laplace.LaplaceApproximation`).
 
-    ``approx_lml`` requires ``key`` (SLQ probes) and returns a stochastic
-    VALUE; ``posterior`` is deterministic given CG tolerances."""
+    ``approx_lml`` requires ``key`` (SLQ probes); a fixed key gives a
+    consistent, differentiable stochastic objective.  ``posterior`` is
+    deterministic given CG tolerances."""
 
     f_init: jax.Array | None = None
     maxiter: int = static_field(default=100)
@@ -252,13 +309,19 @@ class LaplaceCG:
 class LaplaceCGPosterior(AbstractGP):
     """Laplace posterior with matrix-free predictions (RW 3.21/3.29):
 
-        μ* = m(x*) + K*fᵀ ∇ll
+        μ* = m(x*) + K*fᵀ a
         Σ* = K** − K*fᵀ √W B⁻¹ √W K*f   (batched CG per test block)
+
+    ``a`` is the Newton-SOLVED representer weight from one extra step at
+    the mode (K a = f̂ to CG tolerance) rather than ∇ll recomputed at f̂ —
+    the recomputed gradient amplifies the Newton stopping error by
+    λmax(K)·max W, which corrupted f32 means for sharp likelihoods (see
+    the dense module's LaplacePosterior for the measurement).
     """
 
     lfx: LatentFiniteGP
     f_opt: jax.Array
-    d_loglik: jax.Array
+    a: jax.Array
     Wsqrt: jax.Array
     approx: LaplaceCG = static_field(default_factory=LaplaceCG)
 
@@ -281,7 +344,8 @@ class LaplaceCGPosterior(AbstractGP):
     def mean(self, x):
         xt = self._train_x()
         Kxs = self.prior.cov(xt, x)
-        return self.prior.mean(x) + Kxs.T @ self.d_loglik
+        return self.prior.mean(x) + jnp.matmul(Kxs.T, self.a,
+                                               precision="highest")
 
     def cov(self, x, z=None):
         Kxs, U = self._solved(x)
@@ -296,13 +360,16 @@ class LaplaceCGPosterior(AbstractGP):
 
     def mean_and_var(self, x):
         Kxs, U = self._solved(x)
-        mu = self.prior.mean(x) + Kxs.T @ self.d_loglik
+        mu = self.prior.mean(x) + jnp.matmul(Kxs.T, self.a,
+                                             precision="highest")
         return mu, self.prior.var(x) - jnp.sum(Kxs * U, axis=0)
 
     def mean_and_cov(self, x):
         Kxs, U = self._solved(x)
-        mu = self.prior.mean(x) + Kxs.T @ self.d_loglik
-        return mu, self.prior.cov(x) - Kxs.T @ U
+        mu = self.prior.mean(x) + jnp.matmul(Kxs.T, self.a,
+                                             precision="highest")
+        return mu, self.prior.cov(x) - jnp.matmul(Kxs.T, U,
+                                                  precision="highest")
 
 
 @posterior.register(LaplaceCG)
@@ -315,9 +382,13 @@ def _posterior_laplace_cg(la: LaplaceCG, lfx: LatentFiniteGP, ys, **_):
         tol=la.tol, cg_tol=la.cg_tol, cg_maxiter=la.cg_maxiter,
         damping=la.damping, block_size=la.block_size,
     )
-    _ll, d_ll, d2_ll = lfx.lik.log_prob_d1_d2(f_opt, ys)
+    # one extra Newton step at the mode for the SOLVED representer weight
+    kmv = _k_matvec(kern, as_points(x), la.block_size)
+    _fnew, a = _newton_body_cg(lfx.lik, ys, kmv, f_opt, la.cg_tol,
+                               la.cg_maxiter, 1.0)
+    _ll, _d_ll, d2_ll = lfx.lik.log_prob_d1_d2(f_opt, ys)
     return LaplaceCGPosterior(
-        lfx=lfx, f_opt=f_opt, d_loglik=d_ll, Wsqrt=jnp.sqrt(-d2_ll),
+        lfx=lfx, f_opt=f_opt, a=a, Wsqrt=jnp.sqrt(-d2_ll),
         approx=la,
     )
 

@@ -97,3 +97,30 @@ def test_ift_gradient_matches_dense():
     g_cg = jax.grad(via_cg)(theta)
     g_dense = jax.grad(via_dense)(theta)
     np.testing.assert_allclose(g_cg, g_dense, rtol=1e-6, atol=1e-8)
+
+
+def test_lml_slq_gradients_match_dense():
+    """d(approx_lml)/d(kernel hypers) through the matrix-free path (Newton
+    IFT + differentiable cache recompute + stochastic-trace logdet VJP)
+    matches the dense laplace_lml gradient to Hutchinson noise."""
+    X, Y, _ = _setup()
+
+    def via_cg(theta):
+        lfx = tu.build_latent_gp(theta)(X)
+        return laplace_lml_cg(
+            lfx.lik, Y, lfx.fx.f.kernel, X, jax.random.PRNGKey(11),
+            num_probes=1024, lanczos_iters=48, maxiter=100, tol=1e-12,
+            cg_tol=1e-12,
+        )
+
+    def via_dense(theta):
+        lfx = tu.build_latent_gp(theta)(X)
+        Xp = jnp.atleast_2d(jnp.asarray(X)).T if jnp.ndim(X) == 1 else X
+        K = lfx.fx.f.kernel.gram(Xp)
+        return L.laplace_lml(lfx.lik, Y, K, maxiter=100, tol=1e-12)
+
+    theta = jnp.array([1.1, 0.3])
+    g_cg = jax.grad(via_cg)(theta)
+    g_dense = jax.grad(via_dense)(theta)
+    scale = float(jnp.max(jnp.abs(g_dense)))
+    np.testing.assert_allclose(g_cg, g_dense, atol=0.05 * scale + 0.02)
