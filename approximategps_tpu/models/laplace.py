@@ -412,9 +412,11 @@ def newton_inner_loop_jvp(lik, ys, K, dK, **newton_kwargs):
 # ---------------------------------------------------------------------------
 
 
-def _check_laplace_inputs(lfx: LatentFiniteGP, ys):
-    """Reference ``_check_laplace_inputs`` (``:167-179``): zero prior mean,
-    single-latent likelihood; K includes the LatentGP jitter."""
+def _validate_laplace_inputs(lfx: LatentFiniteGP, ys):
+    """Check-only half of the reference's ``_check_laplace_inputs``
+    (``:167-179``): zero prior mean, single-latent likelihood.  Builds NO
+    Gram — the matrix-free tier (``laplace_cg``) calls this so validation
+    never materializes the O(N²) kernel matrix it exists to avoid."""
     fx = lfx.fx
     mean_fn = getattr(fx.f, "mean_fn", None)
     if mean_fn is not None and not isinstance(mean_fn, ZeroMean):
@@ -422,8 +424,14 @@ def _check_laplace_inputs(lfx: LatentFiniteGP, ys):
             "LaplaceApproximation requires a zero prior mean (non-zero means "
             "are untested in the reference as well)"
         )
-    K = fx.cov()
-    return as_likelihood(lfx.lik), K
+    return as_likelihood(lfx.lik)
+
+
+def _check_laplace_inputs(lfx: LatentFiniteGP, ys):
+    """Reference ``_check_laplace_inputs`` (``:167-179``): zero prior mean,
+    single-latent likelihood; K includes the LatentGP jitter."""
+    lik = _validate_laplace_inputs(lfx, ys)
+    return lik, lfx.fx.cov()
 
 
 def laplace_lml(lik, ys, K, f_opt=None, **newton_kwargs):

@@ -36,7 +36,7 @@ from ..core.kernels import as_points
 from ..core.pytrees import pytree_dataclass, static_field
 from .api import approx_lml, posterior
 from .iterative import _lanczos, cg_solve, kernel_matvec
-from .laplace import _check_laplace_inputs, _default_tol, _isapprox
+from .laplace import _default_tol, _isapprox, _validate_laplace_inputs
 
 __all__ = [
     "LaplaceCG",
@@ -46,9 +46,11 @@ __all__ = [
 ]
 
 
-def _k_matvec(kern, x, block_size):
-    """matvec for the NOISELESS prior gram K(x, x)."""
-    return kernel_matvec(kern, x, 0.0, block_size)
+def _k_matvec(kern, x, block_size, noise=0.0):
+    """matvec for the prior gram K(x, x) (+ the LatentGP jitter when given,
+    so B = I + √W (K + jitter·I) √W matches the dense operator — the dense
+    path's K = fx.cov() includes the jitter)."""
+    return kernel_matvec(kern, x, noise, block_size)
 
 
 def _b_matvec(kmv, Wsqrt):
@@ -103,20 +105,20 @@ def _newton_loop_cg(lik, ys, kmv, f_init, maxiter, tol, cg_tol, cg_maxiter,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _newton_solve_cg(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
-                     block_size, lik_leaves, ys, kern, x, f_init):
+                     block_size, lik_leaves, ys, kern, x, noise, f_init):
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    kmv = _k_matvec(kern, x, block_size)
+    kmv = _k_matvec(kern, x, block_size, noise)
     return _newton_loop_cg(lik, ys, kmv, f_init, maxiter, tol, cg_tol,
                            cg_maxiter, damping)
 
 
 def _newton_solve_cg_fwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
-                         block_size, lik_leaves, ys, kern, x, f_init):
+                         block_size, lik_leaves, ys, kern, x, noise, f_init):
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    kmv = _k_matvec(kern, x, block_size)
+    kmv = _k_matvec(kern, x, block_size, noise)
     f_opt, n_iter = _newton_loop_cg(lik, ys, kmv, f_init, maxiter, tol,
                                     cg_tol, cg_maxiter, damping)
-    return (f_opt, n_iter), (lik_leaves, ys, kern, x, f_opt)
+    return (f_opt, n_iter), (lik_leaves, ys, kern, x, noise, f_opt)
 
 
 def _newton_solve_cg_bwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
@@ -129,9 +131,9 @@ def _newton_solve_cg_bwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
         θ̄, x̄, ȳ = vjp of (θ, x, y) ↦ λᵀ K(θ, x) ∇ll(f̂; θ, y)
     """
     ct_f, _ct_niter = cts
-    lik_leaves, ys, kern, x, f_opt = residuals
+    lik_leaves, ys, kern, x, noise, f_opt = residuals
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    kmv = _k_matvec(kern, x, block_size)
+    kmv = _k_matvec(kern, x, block_size, noise)
     _ll, d_ll, d2_ll = lik.log_prob_d1_d2(f_opt, ys)
     Wsqrt = jnp.sqrt(-d2_ll)
     bmv = _b_matvec(kmv, Wsqrt)
@@ -139,16 +141,16 @@ def _newton_solve_cg_bwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
     lam = jax.lax.stop_gradient(lam)
     f_fix = jax.lax.stop_gradient(f_opt)
 
-    def s(leaves, kern_, x_, ys_):
+    def s(leaves, kern_, x_, noise_, ys_):
         lik_ = jax.tree_util.tree_unflatten(lik_def, leaves)
         _, d1, _ = lik_.log_prob_d1_d2(f_fix, ys_)
-        mv = _k_matvec(kern_, x_, block_size)
+        mv = _k_matvec(kern_, x_, block_size, noise_)
         return lam @ mv(d1)
 
-    val, vjp_s = jax.vjp(s, lik_leaves, kern, x, ys)
-    d_leaves, d_kern, d_x, d_ys = vjp_s(jnp.ones_like(val))
+    val, vjp_s = jax.vjp(s, lik_leaves, kern, x, noise, ys)
+    d_leaves, d_kern, d_x, d_noise, d_ys = vjp_s(jnp.ones_like(val))
     d_f_init = jnp.zeros_like(f_opt)
-    return (d_leaves, d_ys, d_kern, d_x, d_f_init)
+    return (d_leaves, d_ys, d_kern, d_x, d_noise, d_f_init)
 
 
 _newton_solve_cg.defvjp(_newton_solve_cg_fwd, _newton_solve_cg_bwd)
@@ -166,12 +168,14 @@ def newton_inner_loop_cg(
     cg_maxiter: int = 1000,
     damping: float = 1.0,
     block_size: int | None = None,
+    noise=0.0,
     return_niter: bool = False,
 ):
     """Matrix-free Newton mode finding: f̂ with K(x,x) accessed only through
     chunked matvecs (O(N·block) memory).  IFT-differentiable w.r.t. the
     likelihood parameters, kernel hyperparameters, inputs and targets —
-    the pullback runs one extra CG solve."""
+    the pullback runs one extra CG solve.  ``noise`` is the LatentGP jitter
+    (the dense path's K includes it)."""
     x = as_points(x)
     ys = jnp.asarray(ys)
     if f_init is None:
@@ -181,14 +185,15 @@ def newton_inner_loop_cg(
     lik_leaves, lik_def = jax.tree_util.tree_flatten(lik)
     f_opt, n_iter = _newton_solve_cg(
         lik_def, maxiter, float(tol), cg_tol, cg_maxiter, damping,
-        block_size, lik_leaves, ys, kern, x, f_init,
+        block_size, lik_leaves, ys, kern, x, jnp.asarray(noise, x.dtype),
+        f_init,
     )
     return (f_opt, n_iter) if return_niter else f_opt
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                  Wsqrt, kern, x, probes):
+                  Wsqrt, kern, x, noise, probes):
     """logdet(I + √W K √W) by stochastic Lanczos quadrature, with the same
     stochastic-trace custom VJP as :func:`iterative.logpdf_slq`:
 
@@ -197,7 +202,7 @@ def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
     the per-probe solves done by one block-CG in the backward only.
     Differentiable w.r.t. ``Wsqrt`` (→ f̂ via the Newton IFT), the kernel
     hyperparameters and the inputs."""
-    kmv = _k_matvec(kern, x, block_size)
+    kmv = _k_matvec(kern, x, block_size, noise)
     bmv = _b_matvec(kmv, Wsqrt)
     n = Wsqrt.shape[0]
 
@@ -213,29 +218,29 @@ def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
 
 
 def _logdet_B_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                      Wsqrt, kern, x, probes):
+                      Wsqrt, kern, x, noise, probes):
     val = _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                        Wsqrt, kern, x, probes)
-    return val, (Wsqrt, kern, x, probes)
+                        Wsqrt, kern, x, noise, probes)
+    return val, (Wsqrt, kern, x, noise, probes)
 
 
 def _logdet_B_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size,
                       res, ct):
-    Wsqrt, kern, x, probes = res
-    kmv = _k_matvec(kern, x, block_size)
+    Wsqrt, kern, x, noise, probes = res
+    kmv = _k_matvec(kern, x, block_size, noise)
     bmv = _b_matvec(kmv, Wsqrt)
     W_solves = jax.lax.stop_gradient(
         cg_solve(bmv, probes.T, tol=cg_tol, maxiter=cg_maxiter)
     )  # (n, P)
 
-    def surrogate(Wsqrt_, kern_, x_, probes_):
-        mv = _k_matvec(kern_, x_, block_size)
+    def surrogate(Wsqrt_, kern_, x_, noise_, probes_):
+        mv = _k_matvec(kern_, x_, block_size, noise_)
         bz = probes_.T + Wsqrt_[:, None] * mv(Wsqrt_[:, None] * probes_.T)
         return jnp.mean(jnp.sum(W_solves * bz, axis=0))
 
-    _, vjp = jax.vjp(surrogate, Wsqrt, kern, x, probes)
-    dW, dk, dx, dp = vjp(ct)
-    return dW, dk, dx, dp
+    _, vjp = jax.vjp(surrogate, Wsqrt, kern, x, noise, probes)
+    dW, dk, dx, dn, dp = vjp(ct)
+    return dW, dk, dx, dn, dp
 
 
 _logdet_B_slq.defvjp(_logdet_B_slq_fwd, _logdet_B_slq_bwd)
@@ -253,6 +258,7 @@ def laplace_lml_cg(
     block_size: int | None = None,
     cg_tol: float = 1e-6,
     cg_maxiter: int = 1000,
+    noise=0.0,
     **newton_kwargs,
 ):
     """Laplace approx-lml with the ½·logdet(B) term from stochastic Lanczos
@@ -266,11 +272,12 @@ def laplace_lml_cg(
     of :func:`_logdet_B_slq` — one extra block-CG in the backward.  A fixed
     ``key`` gives a consistent deterministic objective for the optimiser."""
     x = as_points(x)
+    noise = jnp.asarray(noise, x.dtype)
     if f_opt is None:
         f_opt = newton_inner_loop_cg(lik, ys, kern, x,
                                      block_size=block_size,
                                      cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-                                     **newton_kwargs)
+                                     noise=noise, **newton_kwargs)
     ll, d_ll, d2_ll = lik.log_prob_d1_d2(f_opt, ys)
     Wsqrt = jnp.sqrt(-d2_ll)
     # a = K⁻¹f̂ = ∇ll at the fixed point (f̂ = K ∇ll)
@@ -280,7 +287,8 @@ def laplace_lml_cg(
         jax.random.normal(key, (num_probes, n), dtype=f_opt.dtype)
     )
     logdet_B = _logdet_B_slq(
-        lanczos_iters, cg_tol, cg_maxiter, block_size, Wsqrt, kern, x, probes
+        lanczos_iters, cg_tol, cg_maxiter, block_size, Wsqrt, kern, x, noise,
+        probes
     )
     return -0.5 * (a @ f_opt) + jnp.sum(ll) - 0.5 * logdet_B
 
@@ -326,6 +334,12 @@ class LaplaceCGPosterior(AbstractGP):
     approx: LaplaceCG = static_field(default_factory=LaplaceCG)
 
     @property
+    def _noise(self):
+        # the LatentGP jitter: the training-side B operator includes it
+        # (matching dense K = fx.cov()); test-side cross-covs do not
+        return self.lfx.fx.noise
+
+    @property
     def prior(self):
         return self.lfx.fx.f
 
@@ -335,7 +349,8 @@ class LaplaceCGPosterior(AbstractGP):
     def _solved(self, x):
         xt = self._train_x()
         Kxs = self.prior.cov(xt, x)  # (N, N*)
-        kmv = _k_matvec(self.prior.kernel, xt, self.approx.block_size)
+        kmv = _k_matvec(self.prior.kernel, xt, self.approx.block_size,
+                        self._noise)
         bmv = _b_matvec(kmv, self.Wsqrt)
         V = cg_solve(bmv, self.Wsqrt[:, None] * Kxs,
                      tol=self.approx.cg_tol, maxiter=self.approx.cg_maxiter)
@@ -374,19 +389,20 @@ class LaplaceCGPosterior(AbstractGP):
 
 @posterior.register(LaplaceCG)
 def _posterior_laplace_cg(la: LaplaceCG, lfx: LatentFiniteGP, ys, **_):
-    _check_laplace_inputs(lfx, ys)
+    lik = _validate_laplace_inputs(lfx, ys)  # check-only: NO N×N Gram here
     kern = lfx.fx.f.kernel
     x = lfx.fx.x
+    noise = lfx.fx.noise
     f_opt = newton_inner_loop_cg(
-        lfx.lik, ys, kern, x, f_init=la.f_init, maxiter=la.maxiter,
+        lik, ys, kern, x, f_init=la.f_init, maxiter=la.maxiter,
         tol=la.tol, cg_tol=la.cg_tol, cg_maxiter=la.cg_maxiter,
-        damping=la.damping, block_size=la.block_size,
+        damping=la.damping, block_size=la.block_size, noise=noise,
     )
     # one extra Newton step at the mode for the SOLVED representer weight
-    kmv = _k_matvec(kern, as_points(x), la.block_size)
-    _fnew, a = _newton_body_cg(lfx.lik, ys, kmv, f_opt, la.cg_tol,
+    kmv = _k_matvec(kern, as_points(x), la.block_size, noise)
+    _fnew, a = _newton_body_cg(lik, ys, kmv, f_opt, la.cg_tol,
                                la.cg_maxiter, 1.0)
-    _ll, _d_ll, d2_ll = lfx.lik.log_prob_d1_d2(f_opt, ys)
+    _ll, _d_ll, d2_ll = lik.log_prob_d1_d2(f_opt, ys)
     return LaplaceCGPosterior(
         lfx=lfx, f_opt=f_opt, a=a, Wsqrt=jnp.sqrt(-d2_ll),
         approx=la,
@@ -401,11 +417,11 @@ def _approx_lml_laplace_cg(la: LaplaceCG, lfx: LatentFiniteGP, ys, *,
             "approx_lml(LaplaceCG(...), lfx, ys, key=...) requires an "
             "explicit PRNG key for the SLQ logdet probes"
         )
-    _check_laplace_inputs(lfx, ys)
+    lik = _validate_laplace_inputs(lfx, ys)  # check-only: NO N×N Gram here
     return laplace_lml_cg(
-        lfx.lik, ys, lfx.fx.f.kernel, lfx.fx.x, key,
+        lik, ys, lfx.fx.f.kernel, lfx.fx.x, key,
         num_probes=la.num_probes, lanczos_iters=la.lanczos_iters,
         block_size=la.block_size, f_init=la.f_init, maxiter=la.maxiter,
         tol=la.tol, cg_tol=la.cg_tol, cg_maxiter=la.cg_maxiter,
-        damping=la.damping,
+        damping=la.damping, noise=lfx.fx.noise,
     )

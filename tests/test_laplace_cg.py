@@ -124,3 +124,59 @@ def test_lml_slq_gradients_match_dense():
     g_dense = jax.grad(via_dense)(theta)
     scale = float(jnp.max(jnp.abs(g_dense)))
     np.testing.assert_allclose(g_cg, g_dense, atol=0.05 * scale + 0.02)
+
+
+def test_no_dense_gram_in_matrix_free_paths(monkeypatch, key):
+    """ADVICE r2 (medium): posterior(LaplaceCG, ...) and approx_lml must
+    never build the full N×N observed covariance — validation is check-only
+    (`_validate_laplace_inputs`), so the O(N·block) memory contract holds in
+    eager mode too (previously fx.cov() materialized the Gram and relied on
+    XLA DCE under jit)."""
+    X, Y, lf = _setup(N=32)
+    lfx = lf(X)
+
+    from approximategps_tpu.core.gp import FiniteGP
+
+    def boom(self):
+        raise AssertionError("dense fx.cov() called in a matrix-free path")
+
+    monkeypatch.setattr(FiniteGP, "cov", boom)
+    la = LaplaceCG(tol=1e-10, cg_tol=1e-10, block_size=8, num_probes=8,
+                   lanczos_iters=20)
+    post = agp.posterior(la, lfx, Y)
+    mu, var = post.mean_and_var(jnp.linspace(0.0, 20.0, 9))
+    assert np.all(np.isfinite(mu)) and np.all(np.isfinite(var))
+    lml = agp.approx_lml(la, lfx, Y, key=key)
+    assert np.isfinite(float(lml))
+
+
+def test_cg_operator_includes_latent_jitter():
+    """ADVICE r2 (low): B = I + √W (K + jitter·I) √W — with a deliberately
+    LARGE jitter the CG mode/posterior/lml still match the dense path (which
+    always included it via fx.cov())."""
+    X, Y, _ = _setup()
+    lf = tu.build_latent_gp(jnp.array([1.2, 0.4]))
+    lf = agp.LatentGP(lf.f, lf.lik, 1e-2)  # jitter far above f64 noise
+    lfx = lf(X)
+
+    post_dense = agp.posterior(agp.LaplaceApproximation(tol=1e-12), lfx, Y)
+    post_cg = agp.posterior(LaplaceCG(tol=1e-12, cg_tol=1e-12), lfx, Y)
+    xs = jnp.linspace(0.0, 20.0, 17)
+    mu_d, var_d = post_dense.mean_and_var(xs)
+    mu_c, var_c = post_cg.mean_and_var(xs)
+    np.testing.assert_allclose(mu_c, mu_d, atol=1e-8)
+    np.testing.assert_allclose(var_c, var_d, atol=1e-8)
+
+    lml_dense = float(
+        agp.approx_lml(agp.LaplaceApproximation(tol=1e-12), lfx, Y)
+    )
+    lml_cg = float(
+        agp.approx_lml(
+            LaplaceCG(tol=1e-12, cg_tol=1e-12, num_probes=512,
+                      lanczos_iters=48),
+            lfx, Y, key=jax.random.PRNGKey(3),
+        )
+    )
+    # the explicit terms are deterministic; a missing 1e-2 jitter shifts the
+    # mode/lml well above the SLQ probe noise at P=512
+    assert abs(lml_cg - lml_dense) < 0.2, (lml_cg, lml_dense)

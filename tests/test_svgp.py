@@ -368,15 +368,34 @@ def test_solve_modes_agree(elbo_setup):
     for par in [agp.Centered(), agp.NonCentered()]:
         sva = agp.SparseVariationalApproximation(fz, q, par)
 
+        # full-parameter elbo gradient: kernel hypers, inducing points z,
+        # variational mean AND scale_tril — independently covers every
+        # branch of the fused `_whitened_cache_fused` pullback (ADVICE r2:
+        # the dS branch had no independent-path guard; grads wrt L/z/kernel
+        # flow through it while the mean-only grad does not)
+        def loss(params):
+            kern = make_kernel(params["k"])
+            f_ = agp.GP(kern)
+            fx_ = f_(x, 0.1)
+            fz_ = f_(params["z"], 1e-6)
+            q_ = agp.MultivariateNormal(params["m"], params["L"])
+            return agp.elbo(
+                agp.SparseVariationalApproximation(fz_, q_, par), fx_, y
+            )
+
+        params = {
+            "k": jnp.array([0.2, 0.6]),
+            "z": x[:M],
+            "m": q.mean,
+            "L": q.scale_tril,
+        }
+
         def run():
             post = agp.posterior(sva)
             mu, var = post.mean_and_var(x)
             e = agp.elbo(sva, fx, y)
-            g = jax.grad(lambda m: agp.elbo(
-                agp.SparseVariationalApproximation(
-                    fz, agp.MultivariateNormal(m, q.scale_tril), par
-                ), fx, y))(q.mean)
-            return mu, var, e, g
+            g = jax.grad(loss)(params)
+            return mu, var, e, g["k"], g["z"], g["m"], g["L"]
 
         with config_context(solve_mode="triangular"):
             ref = run()
