@@ -312,7 +312,10 @@ class LinearKernel(Kernel):
     def gram(self, X, Z=None):
         X = as_points(X)
         Z = X if Z is None else as_points(Z)
-        return jnp.matmul(X, Z.T, precision=config.matmul_precision)
+        # Gram-construction matmuls are ALWAYS full precision (same policy
+        # as pairwise_sq_dist): bf16 error here breaks PSD-ness of the
+        # symmetric Grams that feed Cholesky downstream.
+        return jnp.matmul(X, Z.T, precision="highest")
 
     def diag(self, X):
         X = as_points(X)
@@ -329,7 +332,7 @@ class PolynomialKernel(Kernel):
     def gram(self, X, Z=None):
         X = as_points(X)
         Z = X if Z is None else as_points(Z)
-        base = jnp.matmul(X, Z.T, precision=config.matmul_precision)
+        base = jnp.matmul(X, Z.T, precision="highest")  # PSD policy, as above
         return (base + jnp.asarray(self.c, X.dtype)) ** self.degree
 
     def diag(self, X):

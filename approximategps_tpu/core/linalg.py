@@ -268,9 +268,9 @@ def _bwd_precision():
     # Pullback matmuls follow the production matmul policy (bf16-accumulate
     # on TPU): cotangent accuracy is a training-noise question, not a
     # PSD-correctness question like the forward factorizations.
-    from ..config import config
+    from ..config import resolve_matmul_precision
 
-    return config.matmul_precision
+    return resolve_matmul_precision()
 
 
 def _tril_inv_bwd_math(Linv: jax.Array, Linv_bar: jax.Array) -> jax.Array:

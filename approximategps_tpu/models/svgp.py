@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import config
+from ..config import config, resolve_matmul_precision, resolve_solve_mode
 from ..core import linalg
 from ..core.distributions import MultivariateNormal, kl_divergence
 from ..core.gp import AbstractGP, FiniteGP, LatentFiniteGP
@@ -154,7 +154,8 @@ class SVGPPosterior(AbstractGP):
                 )
             else:
                 A = jnp.matmul(
-                    self.cache.Lk_inv, Kuf, precision=config.matmul_precision
+                    self.cache.Lk_inv, Kuf,
+                    precision=resolve_matmul_precision(Kuf.dtype),
                 )
         else:
             A = linalg.solve_lower_triangular(self.cache.Kuu_L, Kuf)
@@ -168,7 +169,8 @@ class SVGPPosterior(AbstractGP):
         dt = _storage_dtype(self.cache.B.dtype)
         if dt is not None and A.dtype == dt:
             return jnp.matmul(self.cache.B.T.astype(dt), A, preferred_element_type=dt)
-        return jnp.matmul(self.cache.B.T, A, precision=config.matmul_precision)
+        return jnp.matmul(self.cache.B.T, A,
+                          precision=resolve_matmul_precision(A.dtype))
 
     def cov(self, x, z=None):
         Ax, _ = self._A_and_Kuf(x)
@@ -256,7 +258,7 @@ def _whitened_cache_fused(Kuu, Lq, m):
     so numerics don't change."""
     from ..core.linalg import _chol_with_inv_impl
 
-    prec = config.matmul_precision
+    prec = resolve_matmul_precision(Kuu.dtype)
     Lk, J = _chol_with_inv_impl(Kuu, 256)
     alpha = J.T @ m
     C0 = jnp.matmul(Lq, Lq.T, precision=prec) - jnp.eye(
@@ -269,7 +271,7 @@ def _whitened_cache_fused(Kuu, Lq, m):
 def _whitened_cache_fwd(Kuu, Lq, m):
     from ..core.linalg import _chol_with_inv_impl
 
-    prec = config.matmul_precision
+    prec = resolve_matmul_precision(Kuu.value.dtype)
     Lk, J = _chol_with_inv_impl(Kuu.value, 256)
     alpha = J.T @ m.value
     C0 = jnp.matmul(Lq.value, Lq.value.T, precision=prec) - jnp.eye(
@@ -286,7 +288,7 @@ def _whitened_cache_bwd(res, cts):
 
     Lk, J, C0, Lq, m = res
     dLk, dJ, dalpha, dS = cts
-    prec = config.matmul_precision
+    prec = resolve_matmul_precision(Lq.dtype)
 
     J_bar = None
     Lq_bar = jnp.zeros_like(Lq)
@@ -333,7 +335,8 @@ def _posterior_svgp(
         _check_consistent_prior(sva, lfx)
     q, fz = sva.q, sva.fz
     m = q.mean
-    if config.solve_mode == "inv_matmul" and not isinstance(
+    solve_mode = resolve_solve_mode(jnp.result_type(m))
+    if solve_mode == "inv_matmul" and not isinstance(
         sva.parametrization, Centered
     ):
         # NonCentered hot path: fused composite with the minimal pullback
@@ -345,7 +348,7 @@ def _posterior_svgp(
             S_corr=S_corr,
         )
         return SVGPPosterior(approx=sva, cache=cache)
-    if config.solve_mode == "inv_matmul":
+    if solve_mode == "inv_matmul":
         # fused chol + tril-inv with a matmul-only custom VJP (no recursion
         # or triangular solves in the backward graph)
         Kuu_L, Lk_inv = linalg.chol_with_inv(fz.cov())
@@ -357,7 +360,8 @@ def _posterior_svgp(
         if Lk_inv is not None:
             # matmul-only path (single-RHS triangular solves are
             # latency-bound on TPU; the inverse is already paid for)
-            B = jnp.matmul(Lk_inv, q.scale_tril, precision=config.matmul_precision)
+            B = jnp.matmul(Lk_inv, q.scale_tril,
+                           precision=resolve_matmul_precision(m.dtype))
             alpha = Lk_inv.T @ (Lk_inv @ (m - fz.mean()))
         else:
             B = linalg.solve_lower_triangular(Kuu_L, q.scale_tril)
@@ -373,12 +377,13 @@ def _posterior_svgp(
     if Lk_inv is not None:
         # three M×M matmuls, paid once per posterior (vs one extra (M, B)
         # projection per variance evaluation — the ELBO hot path)
-        BBt = jnp.matmul(B, B.T, precision=config.matmul_precision)
+        prec = resolve_matmul_precision(B.dtype)
+        BBt = jnp.matmul(B, B.T, precision=prec)
         C0 = BBt - jnp.eye(B.shape[-1], dtype=B.dtype)
         S_corr = jnp.matmul(
             Lk_inv.T,
-            jnp.matmul(C0, Lk_inv, precision=config.matmul_precision),
-            precision=config.matmul_precision,
+            jnp.matmul(C0, Lk_inv, precision=prec),
+            precision=prec,
         )
     cache = _SVGPCache(
         Kuu_L=Kuu_L, B=B, alpha=alpha, Lk_inv=Lk_inv, S_corr=S_corr

@@ -24,7 +24,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..config import config
+from ..config import config, resolve_matmul_precision
 from ..core import linalg
 from ..core.gp import LatentFiniteGP
 from ..core.quadrature import DefaultExpectationMethod, expected_loglikelihood
@@ -99,15 +99,16 @@ def streaming_data_term(
     # S-correction: variances per block need ONE (M, B) projection matmul
     # (diag(KufᵀS Kuf)) instead of two — S formed once outside the scan
     # (see models/svgp.py _SVGPCache.S_corr)
-    BBt = jnp.matmul(B, B.T, precision=config.matmul_precision)
+    prec = resolve_matmul_precision(B.dtype)
+    BBt = jnp.matmul(B, B.T, precision=prec)
     S_corr = jnp.matmul(
         Lk_inv.T,
         jnp.matmul(
             BBt - jnp.eye(B.shape[-1], dtype=B.dtype),
             Lk_inv,
-            precision=config.matmul_precision,
+            precision=prec,
         ),
-        precision=config.matmul_precision,
+        precision=prec,
     )
     # shard_map varying-axis typing: tie S_corr to the (data-varying) shard
     # so the scan-transpose's S̄ cotangent carry starts with matching varying

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ..config import config
+from ..config import config, resolve_matmul_precision
 
 __all__ = ["pallas_stationary_gram"]
 
@@ -107,7 +107,7 @@ def _fwd(X, Z, k_of_r2, tile_m, tile_n):
 
 def _bwd(k_of_r2, tile_m, tile_n, residuals, gbar):
     X, Z = residuals
-    prec = config.matmul_precision
+    prec = resolve_matmul_precision(X.dtype)
     # recompute r² with the MXU identity (cheap relative to the matmuls
     # below; full precision + centering — see pairwise_sq_dist)
     c = 0.5 * (jnp.mean(X, axis=0) + jnp.mean(Z, axis=0))

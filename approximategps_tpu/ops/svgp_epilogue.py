@@ -56,7 +56,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import config
+from ..config import config, resolve_matmul_precision
 
 __all__ = ["svgp_data_epilogue"]
 
@@ -158,7 +158,7 @@ def _store_dtype(dtype, interpret):
     if (
         not interpret
         and dtype == jnp.float32
-        and config.matmul_precision == "default"
+        and resolve_matmul_precision(dtype) == "default"
     ):
         return jnp.bfloat16
     return dtype

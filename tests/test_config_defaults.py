@@ -1,0 +1,78 @@
+"""Fast-path defaults (VERDICT r2 item 3): config ships solve_mode="auto" /
+matmul_precision="auto", resolving to the benched TPU fast path
+(inv_matmul + bf16-accumulate matmuls → S-correction cache + fused epilogue)
+for f32/bf16 on TPU, and to the exact oracle paths (triangular + highest)
+for f64 or non-TPU backends — so `elbo` users get the 4.3 ms headline
+configuration without copying bench.py's set_config calls."""
+
+import jax
+import jax.numpy as jnp
+
+from approximategps_tpu.config import (
+    config,
+    config_context,
+    resolve_matmul_precision,
+    resolve_solve_mode,
+)
+
+
+def test_defaults_are_auto():
+    assert config.solve_mode == "auto"
+    assert config.matmul_precision == "auto"
+
+
+def test_auto_resolves_to_oracle_paths_off_tpu():
+    # conftest forces the cpu backend
+    assert jax.default_backend() != "tpu"
+    assert resolve_solve_mode(jnp.float32) == "triangular"
+    assert resolve_solve_mode(jnp.float64) == "triangular"
+    assert resolve_matmul_precision(jnp.float32) == "highest"
+
+
+def test_auto_resolves_to_fast_path_on_tpu(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_solve_mode(jnp.float32) == "inv_matmul"
+    assert resolve_solve_mode(jnp.bfloat16) == "inv_matmul"
+    assert resolve_matmul_precision(jnp.float32) == "default"
+    # f64 oracle dtype keeps the exact paths even on TPU
+    assert resolve_solve_mode(jnp.float64) == "triangular"
+    assert resolve_matmul_precision(jnp.float64) == "highest"
+    # dtype unknown → fast path on TPU
+    assert resolve_solve_mode() == "inv_matmul"
+
+
+def test_explicit_values_pass_through(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with config_context(solve_mode="triangular", matmul_precision="highest"):
+        assert resolve_solve_mode(jnp.float32) == "triangular"
+        assert resolve_matmul_precision(jnp.float32) == "highest"
+    with config_context(solve_mode="inv_matmul", matmul_precision="default"):
+        assert resolve_solve_mode(jnp.float64) == "inv_matmul"
+        assert resolve_matmul_precision(jnp.float64) == "default"
+
+
+def test_posterior_uses_fast_cache_on_mocked_tpu(monkeypatch):
+    """End-to-end: with the backend reporting "tpu", a plain f32 posterior()
+    build picks the inv_matmul cache (Lk_inv + S_corr present) — the
+    S-correction + fused-epilogue prerequisites — while f64 stays exact."""
+    import approximategps_tpu as agp
+
+    f = agp.GP(agp.SqExponentialKernel())
+    z = jnp.linspace(-1.0, 1.0, 8)
+    fz = f(z, 1e-4)
+    M = 8
+
+    def build(dtype):
+        q = agp.MultivariateNormal(
+            jnp.zeros(M, dtype), jnp.eye(M, dtype=dtype)
+        )
+        fz_t = f(z.astype(dtype), jnp.asarray(1e-4, dtype))
+        sva = agp.SparseVariationalApproximation(fz_t, q)
+        return agp.posterior(sva)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    post32 = build(jnp.float32)
+    assert post32.cache.Lk_inv is not None
+    assert post32.cache.S_corr is not None
+    post64 = build(jnp.float64)
+    assert post64.cache.Lk_inv is None
