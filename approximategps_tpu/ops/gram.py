@@ -39,11 +39,15 @@ def _round_up(x: int, m: int) -> int:
 def _gram_kernel(x_ref, z_ref, o_ref, *, k_of_r2: Callable):
     x = x_ref[:]  # (TM, D)
     z = z_ref[:]  # (TN, D)
+    # accumulate at >= f32 but never BELOW the input dtype: f64 oracle mode
+    # (CPU interpret) must stay f64-accurate or FD gradient checks see an
+    # f32-noise-floored primal (caught by tests/test_ad_rules.py)
+    acc = jnp.promote_types(x_ref.dtype, jnp.float32)
     xz = jnp.dot(
-        x, z.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        x, z.T, preferred_element_type=acc, precision=jax.lax.Precision.HIGHEST
     )
-    x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
-    z2 = jnp.sum(z.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    x2 = jnp.sum(x.astype(acc) ** 2, axis=-1, keepdims=True)
+    z2 = jnp.sum(z.astype(acc) ** 2, axis=-1, keepdims=True)
     r2 = jnp.maximum(x2 + z2.T - 2.0 * xz, 0.0)
     o_ref[:] = k_of_r2(r2).astype(o_ref.dtype)
 
