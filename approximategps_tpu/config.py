@@ -52,6 +52,12 @@ class _Config:
     #   "pallas": force the fused epilogue (interpret mode off-TPU)
     #   "xla":    always the XLA gram + diag_quad_sym path
     data_term_mode: str = os.environ.get("AGP_DATA_TERM_MODE", "auto")
+    # (L, L⁻¹) factorization implementation for the SVGP posterior build:
+    #   "auto":   fused streamed-panel Pallas kernel on TPU (f32/bf16,
+    #             supported M); XLA cholesky + level-batched inverse else
+    #   "pallas": force the Pallas kernel (interpret mode off-TPU)
+    #   "xla":    always the XLA path
+    chol_mode: str = os.environ.get("AGP_CHOL_MODE", "auto")
     # Storage dtype for the large O(M·B) projection intermediates (Kuf, A,
     # BᵀA) in the SVGP data-term path:
     #   "float32":  full-width storage (default)

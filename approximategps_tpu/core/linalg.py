@@ -386,8 +386,44 @@ def chol_with_inv(A: jax.Array, base: int = 256) -> tuple[jax.Array, jax.Array]:
     return _chol_with_inv_impl(A, base)
 
 
+def _panel_chol_eligible(A):
+    """Static dispatch for the fused streamed-panel Pallas (L, L⁻¹) kernel:
+    TPU (or forced interpret), f32/bf16, supported shape, Pallas allowed.
+    Returns the panel width to use, or None."""
+    from ..config import config
+
+    if A.ndim != 2 or not config.use_pallas:
+        return None
+    mode = getattr(config, "chol_mode", "auto")
+    if mode == "xla":
+        return None
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
+    if mode == "auto" and not on_tpu:
+        return None
+    if jnp.dtype(A.dtype) not in (jnp.dtype(jnp.float32),
+                                  jnp.dtype(jnp.bfloat16)):
+        return None
+    from ..ops.panel_chol import chol_inv_supported
+
+    M = A.shape[-1]
+    for panel in (128, 64):
+        if chol_inv_supported(M, A.dtype, panel):
+            return panel
+    return None
+
+
 def _chol_with_inv_impl(A, base):
     A = symmetrize(A)
+    panel = _panel_chol_eligible(A)
+    if panel is not None:
+        # fused streamed-panel Pallas kernel: one pass produces BOTH L and
+        # L⁻¹ (measured v5e M=2048 f32: 0.61 ms vs 1.12 ms for XLA chol +
+        # level-batched tril-inv in the same chained harness)
+        from ..ops.panel_chol import pallas_chol_inv
+
+        return pallas_chol_inv(A, panel=panel)
     L = jnp.linalg.cholesky(A)  # f32-accurate on this stack; see safe_cholesky
     if A.ndim == 2 and A.shape[-1] > base:
         Linv = _blocked_tril_inv_impl(L, min(base, 128))

@@ -158,7 +158,9 @@ def test_finite_gp_sample_statistics(key):
 def test_blocked_cholesky_and_inverse(key):
     from approximategps_tpu.core.linalg import blocked_cholesky, blocked_tril_inv
 
-    for n in [96, 300, 640]:
+    # 96 (≤ base² recursion), 300 (uneven split) cover the recursion shapes;
+    # a 640 case added 15 s of CPU compile for no new code path
+    for n in [96, 300]:
         A = jax.random.normal(jax.random.fold_in(key, n), (n, n))
         K = A @ A.T + n * jnp.eye(n)
         L = blocked_cholesky(K, base=64)

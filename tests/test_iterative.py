@@ -188,11 +188,12 @@ def test_logpdf_slq_training_recovers_noise():
                            lanczos_iters=30, cg_tol=1e-10)
 
     raw = jnp.asarray(2.0)  # noise ~ 2.1, far above the true 0.09
-    g0 = float(jax.grad(neg_lml)(raw))
+    grad_slq = jax.jit(jax.grad(neg_lml))  # hoisted: one trace, not 26
+    g0 = float(grad_slq(raw))
     gd = float(jax.grad(lambda r: neg_lml(r, dense=True))(raw))
     # same descent direction, comparable magnitude
     assert np.sign(g0) == np.sign(gd)
     assert abs(g0 - gd) < 0.3 * abs(gd) + 0.05
     for _ in range(25):
-        raw = raw - 0.25 * jax.grad(neg_lml)(raw)
+        raw = raw - 0.25 * grad_slq(raw)
     assert float(softplus(raw)) < 0.8  # moved decisively toward the optimum

@@ -278,3 +278,46 @@ def test_log_prior_gradients_finite():
     lp = lambda r: P.log_prior(r, {"var": P.gamma_prior(2.0, 1.0), "ls": P.lognormal_prior()})
     g = jax.grad(lp)(raw)
     assert np.isfinite(float(g["var"])) and np.isfinite(float(g["ls"]))
+
+
+def test_panel_chol_inv_matches_xla():
+    """Streamed-panel Pallas (L, L⁻¹) kernel (interpret mode) == XLA
+    cholesky + triangular solve, f64, multiple panel widths and sizes."""
+    from approximategps_tpu.ops.panel_chol import pallas_chol_inv
+
+    key = jax.random.PRNGKey(7)
+    for M, panel in [(256, 128), (384, 128), (256, 64)]:
+        R = jax.random.normal(key, (M, M))
+        A = R @ R.T + M * jnp.eye(M)
+        L, J = pallas_chol_inv(A, panel=panel, interpret=True)
+        L0 = jnp.linalg.cholesky(A)
+        J0 = jax.scipy.linalg.solve_triangular(L0, jnp.eye(M), lower=True)
+        np.testing.assert_allclose(L, L0, atol=1e-11)
+        np.testing.assert_allclose(J, J0, atol=1e-11)
+        # exact zeros above the diagonal (cache contract)
+        assert not np.any(np.triu(np.asarray(L), 1))
+        assert not np.any(np.triu(np.asarray(J), 1))
+
+
+def test_chol_with_inv_pallas_route_values_and_gradients():
+    """chol_mode="pallas" routes chol_with_inv through the panel kernel;
+    values AND elbo-style gradients (via the matmul-only custom VJP, which
+    only sees (L, J)) must match the XLA route."""
+    from approximategps_tpu.config import config_context
+    from approximategps_tpu.core.linalg import chol_with_inv
+
+    key = jax.random.PRNGKey(8)
+    M = 256
+    R = jax.random.normal(key, (M, M))
+
+    def loss(R):
+        A = R @ R.T + M * jnp.eye(M)
+        L, J = chol_with_inv(A)
+        return jnp.sum(jnp.sin(L)) + jnp.sum(J * J) * 1e-3
+
+    with config_context(chol_mode="xla"):
+        v_x, g_x = jax.value_and_grad(loss)(R)
+    with config_context(chol_mode="pallas", pallas_interpret=True):
+        v_p, g_p = jax.value_and_grad(loss)(R)
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-12)
+    np.testing.assert_allclose(g_p, g_x, atol=1e-9)
