@@ -82,7 +82,10 @@ from .models import (
     VFE,
     cg_solve,
     logpdf_slq,
+    msqrt_matvec,
     posterior_cg,
+    sample_posterior_msqrt,
+    sample_prior_msqrt,
     rff_features,
     sample_svgp_functions,
     dp_streaming_elbo,

@@ -67,6 +67,12 @@ class _Config:
     compute_dtype: str = os.environ.get("AGP_COMPUTE_DTYPE", "float32")
     # Default jitter added to Kuu/Kff diagonals when the user passes none.
     default_jitter: float = 1e-8
+    # Matrix-free tier storage policy: N at or below this materializes the
+    # N×N Gram ONCE per solve and reuses it across all CG iterations (the
+    # BBMM "K-resident" tier — at N=24576 that is 2.4 GB f32 in HBM, and
+    # each matvec stops re-evaluating N² kernel entries); above it, chunked
+    # matvecs keep memory O(N·block).
+    cg_dense_threshold: int = int(os.environ.get("AGP_CG_DENSE_N", "24576"))
 
 
 config = _Config()

@@ -1,5 +1,7 @@
 from . import api, block_vecchia, iterative, laplace, laplace_cg, multi_latent, sampling, svgp, svgp_streaming, vecchia, vfe
-from .iterative import cg_solve, logpdf_slq, posterior_cg
+from .iterative import (cg_solve, logpdf_slq, posterior_cg,
+                        msqrt_matvec, sample_prior_msqrt,
+                        sample_posterior_msqrt)
 from .sampling import rff_features, sample_posterior_functions_cg, sample_svgp_functions
 from .svgp_streaming import dp_streaming_elbo, streaming_elbo
 from .api import approx_lml, posterior

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..core.gp import FiniteGP
 from ..core.kernels import as_points
 
-__all__ = ["cg_solve", "kernel_matvec", "posterior_cg", "logpdf_slq", "CGPosterior", "pivoted_cholesky", "woodbury_preconditioner"]
+__all__ = ["cg_solve", "kernel_matvec", "posterior_cg", "logpdf_slq", "CGPosterior", "pivoted_cholesky", "woodbury_preconditioner", "msqrt_matvec", "sample_prior_msqrt", "sample_posterior_msqrt"]
 
 
 def cg_solve(
@@ -36,20 +36,27 @@ def cg_solve(
     maxiter: int = 1000,
     M_inv: Callable[[jax.Array], jax.Array] | None = None,
     return_info: bool = False,
+    x0: jax.Array | None = None,
 ) -> jax.Array:
     """Solve A X = B for SPD A given only ``matvec(V) = A @ V``.
 
     B: (N,) or (N, R) — all right-hand sides iterate together (block-CG style
     scheduling: one fused matmul per iteration).  ``M_inv`` is an optional
-    preconditioner application."""
+    preconditioner application; ``x0`` an optional warm start (the Newton
+    inner loop passes the previous step's solve — the mode barely moves
+    near convergence, so late Newton steps start close)."""
     vec = B.ndim == 1
     if vec:
         B = B[:, None]
     if M_inv is None:
         M_inv = lambda r: r
 
-    X0 = jnp.zeros_like(B)
-    R0 = B
+    if x0 is None:
+        X0 = jnp.zeros_like(B)
+        R0 = B
+    else:
+        X0 = x0[:, None] if (vec and x0.ndim == 1) else x0
+        R0 = B - matvec(X0)
     Z0 = M_inv(R0)
     P0 = Z0
     rz0 = jnp.sum(R0 * Z0, axis=0)
@@ -279,9 +286,20 @@ def posterior_cg(fx: FiniteGP, y, tol=1e-8, maxiter=1000, block_size=None,
                        precond_rank=precond_rank)
 
 
-def _lanczos(matvec, v0, num_iters):
+def _lanczos(matvec, v0, num_iters, reorth: bool = False):
     """Lanczos tridiagonalization of A started at v0 (normalized) — returns
-    the (num_iters, num_iters) tridiagonal T as (diag, offdiag)."""
+    the (num_iters, num_iters) tridiagonal T as (diag, offdiag).
+
+    ``reorth=True`` runs FULL reorthogonalization (each new vector is
+    orthogonalized against the whole stored basis — O(n·m) extra memory and
+    an (n, m) matmul pair per step): at high condition (≥1e6) in f32 the
+    one-step recurrence loses orthogonality and SLQ's Ritz weights smear,
+    biasing the logdet (accuracy envelope measured in
+    tests/test_iterative.py::test_slq_logdet_high_condition and
+    BENCH_NOTES)."""
+    if reorth:
+        Q, alphas, betas = _lanczos_basis(matvec, v0, num_iters)
+        return alphas, betas
     n = v0.shape[0]
     v0 = v0 / jnp.linalg.norm(v0)
 
@@ -290,8 +308,8 @@ def _lanczos(matvec, v0, num_iters):
         w = matvec(v) - beta_prev * v_prev
         alpha = jnp.dot(w, v)
         w = w - alpha * v
-        # full reorthogonalization would need the basis; one-step is enough
-        # for quadrature use with modest iteration counts
+        # one-step orthogonalization: enough for quadrature at modest
+        # iteration counts / moderate condition (reorth=True otherwise)
         beta = jnp.linalg.norm(w)
         v_next = w / jnp.where(beta == 0, 1.0, beta)
         return (v, v_next, beta), (alpha, beta)
@@ -303,6 +321,129 @@ def _lanczos(matvec, v0, num_iters):
     return alphas, betas[:-1]
 
 
+def _lanczos_basis(matvec, v0, num_iters):
+    """Fully-reorthogonalized Lanczos keeping the basis: returns
+    (Q (n, m), alphas (m,), betas (m−1,)) with QᵀAQ = T, Q[:, 0] = v0/‖v0‖.
+
+    The stored-basis Gram-Schmidt pass (w −= Q(Qᵀw), applied twice for
+    f32 robustness) keeps Q orthonormal to working precision — required for
+    matrix-function application f(A)b = ‖b‖·Q f(T) e₁ (the msqrt sampler)
+    and for high-condition SLQ."""
+    n = v0.shape[0]
+    m = num_iters
+    v = v0 / jnp.linalg.norm(v0)
+    Q0 = jnp.zeros((n, m), v0.dtype).at[:, 0].set(v)
+
+    def step(carry, i):
+        Q, v, beta_prev, v_prev = carry
+        w = matvec(v) - beta_prev * v_prev
+        alpha = jnp.dot(w, v)
+        w = w - alpha * v
+        # two-pass full reorthogonalization against the stored basis
+        # (columns ≥ i+1 are zero, so the masked matmul is harmless)
+        w = w - Q @ (Q.T @ w)
+        w = w - Q @ (Q.T @ w)
+        beta = jnp.linalg.norm(w)
+        v_next = w / jnp.where(beta == 0, 1.0, beta)
+        Q = jax.lax.cond(
+            i + 1 < m,
+            lambda Q: Q.at[:, i + 1].set(v_next),
+            lambda Q: Q,
+            Q,
+        )
+        return (Q, v_next, beta, v), (alpha, beta)
+
+    (Q, _, _, _), (alphas, betas) = jax.lax.scan(
+        step, (Q0, v, jnp.asarray(0.0, v0.dtype), jnp.zeros_like(v0)),
+        jnp.arange(m),
+    )
+    return Q, alphas, betas[:-1]
+
+
+def msqrt_matvec(matvec, b, num_iters: int = 30):
+    """A^{1/2} b by Lanczos matrix-function approximation (Pleiss et al.
+    2020, arXiv 2006.11267 §4.2-adjacent; the Krylov f(A)b recipe):
+
+        A^{1/2} b ≈ ‖b‖ · Q V Λ^{1/2} Vᵀ e₁,   T = VΛVᵀ = QᵀAQ.
+
+    O(m) matvecs, no factorization — the sampling-grade square root for
+    N(0, A) draws at matrix-free scale."""
+    Q, alphas, betas = _lanczos_basis(matvec, b, num_iters)
+    T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+    evals, evecs = jnp.linalg.eigh(T)
+    evals = jnp.maximum(evals, 0.0)
+    w = evecs @ (jnp.sqrt(evals) * evecs[0, :])
+    return jnp.linalg.norm(b) * (Q @ w)
+
+
+def sample_prior_msqrt(key, kernel, x, noise, num_samples: int,
+                       lanczos_iters: int = 30,
+                       block_size: int | None = None):
+    """``num_samples`` draws from N(0, K(x,x) + Σ) via the Lanczos matrix
+    square root — exact-prior covariance structure (unlike RFF paths, no
+    feature-truncation bias), O(m) matvecs per sample, K never factorized.
+
+    Returns (num_samples, N)."""
+    X = as_points(x)
+    N = X.shape[0]
+    mv = kernel_matvec(kernel, X, noise, block_size)
+    Z = jax.random.normal(key, (num_samples, N), dtype=X.dtype)
+    return jax.vmap(lambda z: msqrt_matvec(mv, z, lanczos_iters))(Z)
+
+
+def sample_posterior_msqrt(
+    key,
+    fx: FiniteGP,
+    y: jax.Array,
+    xs: jax.Array,
+    num_samples: int,
+    lanczos_iters: int = 30,
+    tol: float = 1e-8,
+    maxiter: int = 1000,
+    block_size: int | None = None,
+    precond_rank: int = 0,
+):
+    """Matheron-rule posterior samples at test points ``xs`` with the prior
+    path drawn JOINTLY over [train; test] by the Lanczos matrix square root
+    (arXiv 2006.11267 §4.2's sampling application) — the exact-prior
+    counterpart of :func:`~approximategps_tpu.models.sampling.sample_posterior_functions_cg`
+    (whose RFF prior path carries feature-truncation bias):
+
+        f* = f_prior(x*) + K(x*,X)(K + σ²I)⁻¹(y − f_prior(X) − ε),
+        [f_prior(X); f_prior(x*)] ~ N(0, K_joint),  ε ~ N(0, σ²I).
+
+    All ``num_samples`` data-update solves run as ONE preconditioned
+    block-CG.  Returns (num_samples, N*)."""
+    prior = fx.f
+    X = as_points(fx.x)
+    Xs = as_points(xs)
+    N = X.shape[0]
+    noise = jnp.asarray(fx.noise)
+    if noise.ndim > 0:
+        raise ValueError("sample_posterior_msqrt requires isotropic noise")
+    k_prior, k_eps = jax.random.split(key)
+
+    # joint prior sample over train+test points (tiny jitter for PSD-ness)
+    XJ = jnp.concatenate([X, Xs], axis=0)
+    eps_j = 1e-6 if X.dtype == jnp.float32 else 1e-12
+    joint = sample_prior_msqrt(k_prior, prior.kernel, XJ, eps_j, num_samples,
+                               lanczos_iters, block_size)
+    fX = joint[:, :N]  # (S, N)
+    fS = joint[:, N:]  # (S, N*)
+
+    eps = jnp.sqrt(noise) * jax.random.normal(k_eps, fX.shape, dtype=X.dtype)
+    resid = y[None, :] - fX - eps  # (S, N)
+
+    mv = kernel_matvec(prior.kernel, X, noise, block_size)
+    M_inv = None
+    if precond_rank > 0:
+        Lk = pivoted_cholesky(prior.kernel, X, precond_rank)
+        M_inv = woodbury_preconditioner(Lk, noise)
+    V = cg_solve(mv, resid.T, tol=tol, maxiter=maxiter, M_inv=M_inv)  # (N, S)
+    Ksx = prior.cov(X, Xs)  # (N, N*)
+    return fS + jnp.matmul(V.T, Ksx, precision="highest")
+
+
 def logpdf_slq(
     fx: FiniteGP,
     y: jax.Array,
@@ -312,6 +453,7 @@ def logpdf_slq(
     cg_tol: float = 1e-8,
     cg_maxiter: int = 1000,
     block_size: int | None = None,
+    reorth: bool = False,
 ) -> jax.Array:
     """Exact log marginal likelihood with the logdet estimated by stochastic
     Lanczos quadrature: logdet(A) ≈ (N/P) Σ_p eᵀ₁ f(T_p) e₁ with f = log on
@@ -335,12 +477,14 @@ def logpdf_slq(
         else jnp.sign(jax.random.normal(key, (num_probes, n), dtype=dtype))
     )
     return _logpdf_slq_core(
-        lanczos_iters, cg_tol, cg_maxiter, block_size, fx, y, probes
+        lanczos_iters, cg_tol, cg_maxiter, block_size, bool(reorth), fx, y,
+        probes
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, fx, y,
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
+                     fx, y,
                      probes):
     n = len(fx)
     matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
@@ -349,7 +493,7 @@ def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, fx, y,
     quad = delta @ alpha
 
     def probe_logdet(v):
-        alphas, betas = _lanczos(matvec, v, lanczos_iters)
+        alphas, betas = _lanczos(matvec, v, lanczos_iters, reorth=reorth)
         T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
         evals, evecs = jnp.linalg.eigh(T)
         evals = jnp.maximum(evals, 1e-30)
@@ -360,16 +504,19 @@ def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, fx, y,
     return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
 
-def _logpdf_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size, fx, y,
+def _logpdf_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
+                    fx, y,
                     probes):
     val = _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size,
+                           reorth,
                            fx, y, probes)
     # alpha is recomputed in the backward (one CG) so the forward stores
     # only the inputs — keeps remat/scan memory flat
     return val, (fx, y, probes)
 
 
-def _logpdf_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size, res, ct):
+def _logpdf_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
+                    res, ct):
     fx, y, probes = res
     matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
     delta = jax.lax.stop_gradient(y - fx.mean())

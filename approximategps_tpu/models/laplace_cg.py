@@ -30,12 +30,19 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..config import config
 from ..core import linalg
 from ..core.gp import AbstractGP, LatentFiniteGP
 from ..core.kernels import as_points
 from ..core.pytrees import pytree_dataclass, static_field
 from .api import approx_lml, posterior
-from .iterative import _lanczos, cg_solve, kernel_matvec
+from .iterative import (
+    _lanczos,
+    cg_solve,
+    kernel_matvec,
+    pivoted_cholesky,
+    woodbury_preconditioner,
+)
 from .laplace import _default_tol, _isapprox, _validate_laplace_inputs
 
 __all__ = [
@@ -46,11 +53,50 @@ __all__ = [
 ]
 
 
-def _k_matvec(kern, x, block_size, noise=0.0):
+def _k_matvec(kern, x, block_size, noise=0.0, storage="auto"):
     """matvec for the prior gram K(x, x) (+ the LatentGP jitter when given,
     so B = I + √W (K + jitter·I) √W matches the dense operator — the dense
-    path's K = fx.cov() includes the jitter)."""
+    path's K = fx.cov() includes the jitter).
+
+    ``storage="auto"`` materializes the Gram ONCE and reuses it across all
+    CG iterations when N ≤ config.cg_dense_threshold (the BBMM K-resident
+    tier: a Newton solve runs hundreds of matvecs, and re-evaluating N²
+    kernel entries per matvec was the dominant cost — the exp alone is
+    O(N²) VPU transcendentals each time); "chunked" forces O(N·block)
+    memory, "dense" forces residency."""
+    N = as_points(x).shape[0]
+    if storage == "dense" or (storage == "auto"
+                              and N <= config.cg_dense_threshold):
+        K = kern.gram(as_points(x))
+        noise_arr = jnp.asarray(noise, K.dtype)
+
+        def mv(v):
+            vec = v.ndim == 1
+            V = v[:, None] if vec else v
+            out = jnp.matmul(K, V, precision="highest") + noise_arr * V
+            return out[:, 0] if vec else out
+
+        return mv
     return kernel_matvec(kern, x, noise, block_size)
+
+
+def _b_precond(kern, x, rank):
+    """Rank-``rank`` pivoted-Cholesky factor of K for preconditioning the
+    Newton inner solve: with K ≈ L_r L_rᵀ,
+    ``B = I + √W K √W ≈ I + (√W∘L_r)(√W∘L_r)ᵀ`` — a σ²=1 Woodbury form
+    whose r×r capacitance refresh per Newton step is O(N·r²).  Returns the
+    W-independent L_r (computed once per solve)."""
+    if rank <= 0:
+        return None
+    N = as_points(x).shape[0]
+    return pivoted_cholesky(kern, x, min(rank, N))
+
+
+def _b_minv(Lr, Wsqrt):
+    """Preconditioner application for the current W, or None."""
+    if Lr is None:
+        return None
+    return woodbury_preconditioner(Wsqrt[:, None] * Lr, 1.0)
 
 
 def _b_matvec(kmv, Wsqrt):
@@ -66,66 +112,97 @@ def _b_matvec(kmv, Wsqrt):
 class _CGNewtonState(NamedTuple):
     f: jax.Array
     fnew: jax.Array
+    s: jax.Array  # previous inner CG solution — warm start for the next
+    rel: jax.Array  # relative step size ‖f−fnew‖/max(‖f‖,‖fnew‖)
+    rel_prev: jax.Array
     it: jax.Array
 
 
-def _newton_body_cg(lik, ys, kmv, f, cg_tol, cg_maxiter, damping):
-    """One matrix-free Newton step: a = b − √W B⁻¹ √W (K b), fnew = K a."""
+def _newton_body_cg(lik, ys, kmv, f, cg_tol, cg_maxiter, damping, Lr=None,
+                    s0=None):
+    """One matrix-free Newton step: a = b − √W B⁻¹ √W (K b), fnew = K a.
+    The inner solve is Woodbury-preconditioned when ``Lr`` is given and
+    warm-started from the previous Newton step's solution ``s0``."""
     _ll, d_ll, d2_ll = lik.log_prob_d1_d2(f, ys)
     W = -d2_ll
     Wsqrt = jnp.sqrt(W)
     b = W * f + d_ll
     Kb = kmv(b)
     bmv = _b_matvec(kmv, Wsqrt)
-    s = cg_solve(bmv, Wsqrt * Kb, tol=cg_tol, maxiter=cg_maxiter)
+    s = cg_solve(bmv, Wsqrt * Kb, tol=cg_tol, maxiter=cg_maxiter,
+                 M_inv=_b_minv(Lr, Wsqrt), x0=s0)
     a = b - Wsqrt * s
     fnew = kmv(a)
     if damping != 1.0:
         fnew = f + damping * (fnew - f)
-    return fnew, a
+    return fnew, a, s
 
 
 def _newton_loop_cg(lik, ys, kmv, f_init, maxiter, tol, cg_tol, cg_maxiter,
-                    damping):
+                    damping, Lr=None):
     def cond(st):
-        done = jnp.logical_and(st.it > 0, _isapprox(st.f, st.fnew, tol))
-        return jnp.logical_and(st.it < maxiter, jnp.logical_not(done))
+        done = jnp.logical_and(st.it > 0, st.rel <= tol)
+        # Stall detector: at large N in f32 the step size hits an
+        # evaluation-noise floor (matvec summation noise amplified by
+        # λmax(K) through fnew = K a — measured ~2e-4 flat from iteration
+        # 3 at N=1e5) that a tighter tol can never cross; once the step
+        # stops SHRINKING the mode is found to working precision and
+        # further iterations only burn matvecs.  Undamped Newton contracts
+        # at least geometrically while making real progress, and damped
+        # steps contract by ≥ (1−damping) < 0.9, so a 0.9 ratio after 4
+        # iterations only fires at the floor.
+        stalled = jnp.logical_and(st.it >= 4, st.rel > 0.9 * st.rel_prev)
+        keep = jnp.logical_and(st.it < maxiter, jnp.logical_not(done))
+        return jnp.logical_and(keep, jnp.logical_not(stalled))
 
     def body(st):
-        fnew, _a = _newton_body_cg(lik, ys, kmv, st.fnew, cg_tol, cg_maxiter,
-                                   damping)
-        return _CGNewtonState(f=st.fnew, fnew=fnew, it=st.it + 1)
+        fnew, _a, s = _newton_body_cg(lik, ys, kmv, st.fnew, cg_tol,
+                                      cg_maxiter, damping, Lr=Lr, s0=st.s)
+        nf = jnp.linalg.norm(st.fnew - fnew)
+        denom = jnp.maximum(
+            jnp.maximum(jnp.linalg.norm(st.fnew), jnp.linalg.norm(fnew)),
+            jnp.finfo(fnew.dtype).tiny,
+        )
+        return _CGNewtonState(f=st.fnew, fnew=fnew, s=s, rel=nf / denom,
+                              rel_prev=st.rel, it=st.it + 1)
 
+    inf = jnp.asarray(jnp.inf, f_init.dtype)
     st = jax.lax.while_loop(
         cond, body,
-        _CGNewtonState(f=f_init, fnew=f_init, it=jnp.int32(0)),
+        _CGNewtonState(f=f_init, fnew=f_init, s=jnp.zeros_like(f_init),
+                       rel=inf, rel_prev=inf, it=jnp.int32(0)),
     )
     return st.fnew, st.it
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
 def _newton_solve_cg(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
-                     block_size, lik_leaves, ys, kern, x, noise, f_init):
+                     block_size, precond_rank, storage,
+                     lik_leaves, ys, kern, x, noise, f_init):
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    kmv = _k_matvec(kern, x, block_size, noise)
+    kmv = _k_matvec(kern, x, block_size, noise, storage)
+    Lr = _b_precond(kern, x, precond_rank)
     return _newton_loop_cg(lik, ys, kmv, f_init, maxiter, tol, cg_tol,
-                           cg_maxiter, damping)
+                           cg_maxiter, damping, Lr=Lr)
 
 
 def _newton_solve_cg_fwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
-                         block_size, lik_leaves, ys, kern, x, noise, f_init):
+                         block_size, precond_rank, storage,
+                         lik_leaves, ys, kern, x, noise, f_init):
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    kmv = _k_matvec(kern, x, block_size, noise)
+    kmv = _k_matvec(kern, x, block_size, noise, storage)
+    Lr = _b_precond(kern, x, precond_rank)
     f_opt, n_iter = _newton_loop_cg(lik, ys, kmv, f_init, maxiter, tol,
-                                    cg_tol, cg_maxiter, damping)
+                                    cg_tol, cg_maxiter, damping, Lr=Lr)
     return (f_opt, n_iter), (lik_leaves, ys, kern, x, noise, f_opt)
 
 
 def _newton_solve_cg_bwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
-                         block_size, residuals, cts):
+                         block_size, precond_rank, storage, residuals, cts):
     """IFT pullback, matrix-free (the dense module's `_newton_solve_bwd`
-    with the B⁻¹ application replaced by CG and the rank-1 K̄ = λ∇llᵀ
-    cotangent pushed through the chunked matvec instead of materialized):
+    with the B⁻¹ application replaced by (preconditioned) CG and the rank-1
+    K̄ = λ∇llᵀ cotangent pushed through the chunked matvec instead of
+    materialized):
 
         λ = √W B⁻¹ √W⁻¹ Δf           (one CG solve)
         θ̄, x̄, ȳ = vjp of (θ, x, y) ↦ λᵀ K(θ, x) ∇ll(f̂; θ, y)
@@ -133,18 +210,20 @@ def _newton_solve_cg_bwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
     ct_f, _ct_niter = cts
     lik_leaves, ys, kern, x, noise, f_opt = residuals
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    kmv = _k_matvec(kern, x, block_size, noise)
+    kmv = _k_matvec(kern, x, block_size, noise, storage)
+    Lr = _b_precond(kern, x, precond_rank)
     _ll, d_ll, d2_ll = lik.log_prob_d1_d2(f_opt, ys)
     Wsqrt = jnp.sqrt(-d2_ll)
     bmv = _b_matvec(kmv, Wsqrt)
-    lam = Wsqrt * cg_solve(bmv, ct_f / Wsqrt, tol=cg_tol, maxiter=cg_maxiter)
+    lam = Wsqrt * cg_solve(bmv, ct_f / Wsqrt, tol=cg_tol, maxiter=cg_maxiter,
+                           M_inv=_b_minv(Lr, Wsqrt))
     lam = jax.lax.stop_gradient(lam)
     f_fix = jax.lax.stop_gradient(f_opt)
 
     def s(leaves, kern_, x_, noise_, ys_):
         lik_ = jax.tree_util.tree_unflatten(lik_def, leaves)
         _, d1, _ = lik_.log_prob_d1_d2(f_fix, ys_)
-        mv = _k_matvec(kern_, x_, block_size, noise_)
+        mv = _k_matvec(kern_, x_, block_size, noise_, storage)
         return lam @ mv(d1)
 
     val, vjp_s = jax.vjp(s, lik_leaves, kern, x, noise, ys)
@@ -169,13 +248,24 @@ def newton_inner_loop_cg(
     damping: float = 1.0,
     block_size: int | None = None,
     noise=0.0,
+    precond_rank: int = 128,
+    storage: str = "auto",
     return_niter: bool = False,
 ):
     """Matrix-free Newton mode finding: f̂ with K(x,x) accessed only through
-    chunked matvecs (O(N·block) memory).  IFT-differentiable w.r.t. the
-    likelihood parameters, kernel hyperparameters, inputs and targets —
-    the pullback runs one extra CG solve.  ``noise`` is the LatentGP jitter
-    (the dense path's K includes it)."""
+    matvecs.  IFT-differentiable w.r.t. the likelihood parameters, kernel
+    hyperparameters, inputs and targets — the pullback runs one extra CG
+    solve.  ``noise`` is the LatentGP jitter (the dense path's K includes
+    it).
+
+    Fast-solve knobs (all solution-invariant — they change iteration
+    counts, not the answer):
+    - ``precond_rank``: Woodbury preconditioner from a rank-r pivoted
+      Cholesky of K (0 disables);
+    - ``storage``: "auto" keeps the Gram HBM-resident for
+      N ≤ config.cg_dense_threshold, "chunked" forces O(N·block) memory;
+    - each Newton step's CG warm-starts from the previous step's solution.
+    """
     x = as_points(x)
     ys = jnp.asarray(ys)
     if f_init is None:
@@ -185,14 +275,16 @@ def newton_inner_loop_cg(
     lik_leaves, lik_def = jax.tree_util.tree_flatten(lik)
     f_opt, n_iter = _newton_solve_cg(
         lik_def, maxiter, float(tol), cg_tol, cg_maxiter, damping,
-        block_size, lik_leaves, ys, kern, x, jnp.asarray(noise, x.dtype),
+        block_size, int(precond_rank), storage,
+        lik_leaves, ys, kern, x, jnp.asarray(noise, x.dtype),
         f_init,
     )
     return (f_opt, n_iter) if return_niter else f_opt
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
+                  precond_rank, storage,
                   Wsqrt, kern, x, noise, probes):
     """logdet(I + √W K √W) by stochastic Lanczos quadrature, with the same
     stochastic-trace custom VJP as :func:`iterative.logpdf_slq`:
@@ -202,7 +294,7 @@ def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
     the per-probe solves done by one block-CG in the backward only.
     Differentiable w.r.t. ``Wsqrt`` (→ f̂ via the Newton IFT), the kernel
     hyperparameters and the inputs."""
-    kmv = _k_matvec(kern, x, block_size, noise)
+    kmv = _k_matvec(kern, x, block_size, noise, storage)
     bmv = _b_matvec(kmv, Wsqrt)
     n = Wsqrt.shape[0]
 
@@ -218,23 +310,25 @@ def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
 
 
 def _logdet_B_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                      Wsqrt, kern, x, noise, probes):
+                      precond_rank, storage, Wsqrt, kern, x, noise, probes):
     val = _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                        Wsqrt, kern, x, noise, probes)
+                        precond_rank, storage, Wsqrt, kern, x, noise, probes)
     return val, (Wsqrt, kern, x, noise, probes)
 
 
 def _logdet_B_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                      res, ct):
+                      precond_rank, storage, res, ct):
     Wsqrt, kern, x, noise, probes = res
-    kmv = _k_matvec(kern, x, block_size, noise)
+    kmv = _k_matvec(kern, x, block_size, noise, storage)
     bmv = _b_matvec(kmv, Wsqrt)
+    Lr = _b_precond(kern, x, precond_rank)
     W_solves = jax.lax.stop_gradient(
-        cg_solve(bmv, probes.T, tol=cg_tol, maxiter=cg_maxiter)
+        cg_solve(bmv, probes.T, tol=cg_tol, maxiter=cg_maxiter,
+                 M_inv=_b_minv(Lr, Wsqrt))
     )  # (n, P)
 
     def surrogate(Wsqrt_, kern_, x_, noise_, probes_):
-        mv = _k_matvec(kern_, x_, block_size, noise_)
+        mv = _k_matvec(kern_, x_, block_size, noise_, storage)
         bz = probes_.T + Wsqrt_[:, None] * mv(Wsqrt_[:, None] * probes_.T)
         return jnp.mean(jnp.sum(W_solves * bz, axis=0))
 
@@ -259,6 +353,8 @@ def laplace_lml_cg(
     cg_tol: float = 1e-6,
     cg_maxiter: int = 1000,
     noise=0.0,
+    precond_rank: int = 128,
+    storage: str = "auto",
     **newton_kwargs,
 ):
     """Laplace approx-lml with the ½·logdet(B) term from stochastic Lanczos
@@ -277,7 +373,8 @@ def laplace_lml_cg(
         f_opt = newton_inner_loop_cg(lik, ys, kern, x,
                                      block_size=block_size,
                                      cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-                                     noise=noise, **newton_kwargs)
+                                     noise=noise, precond_rank=precond_rank,
+                                     storage=storage, **newton_kwargs)
     ll, d_ll, d2_ll = lik.log_prob_d1_d2(f_opt, ys)
     Wsqrt = jnp.sqrt(-d2_ll)
     # a = K⁻¹f̂ = ∇ll at the fixed point (f̂ = K ∇ll)
@@ -287,8 +384,8 @@ def laplace_lml_cg(
         jax.random.normal(key, (num_probes, n), dtype=f_opt.dtype)
     )
     logdet_B = _logdet_B_slq(
-        lanczos_iters, cg_tol, cg_maxiter, block_size, Wsqrt, kern, x, noise,
-        probes
+        lanczos_iters, cg_tol, cg_maxiter, block_size, int(precond_rank),
+        storage, Wsqrt, kern, x, noise, probes
     )
     return -0.5 * (a @ f_opt) + jnp.sum(ll) - 0.5 * logdet_B
 
@@ -311,6 +408,11 @@ class LaplaceCG:
     block_size: int | None = static_field(default=None)
     num_probes: int = static_field(default=16)
     lanczos_iters: int = static_field(default=30)
+    # fast-solve knobs (solution-invariant): Woodbury preconditioning of
+    # the inner B-solves from a rank-r pivoted Cholesky of K, and
+    # HBM-resident Gram storage below config.cg_dense_threshold
+    precond_rank: int = static_field(default=128)
+    storage: str = static_field(default="auto")
 
 
 @pytree_dataclass
@@ -350,10 +452,12 @@ class LaplaceCGPosterior(AbstractGP):
         xt = self._train_x()
         Kxs = self.prior.cov(xt, x)  # (N, N*)
         kmv = _k_matvec(self.prior.kernel, xt, self.approx.block_size,
-                        self._noise)
+                        self._noise, self.approx.storage)
         bmv = _b_matvec(kmv, self.Wsqrt)
+        Lr = _b_precond(self.prior.kernel, xt, self.approx.precond_rank)
         V = cg_solve(bmv, self.Wsqrt[:, None] * Kxs,
-                     tol=self.approx.cg_tol, maxiter=self.approx.cg_maxiter)
+                     tol=self.approx.cg_tol, maxiter=self.approx.cg_maxiter,
+                     M_inv=_b_minv(Lr, self.Wsqrt))
         return Kxs, self.Wsqrt[:, None] * V  # second = √W B⁻¹ √W K*f
 
     def mean(self, x):
@@ -397,11 +501,13 @@ def _posterior_laplace_cg(la: LaplaceCG, lfx: LatentFiniteGP, ys, **_):
         lik, ys, kern, x, f_init=la.f_init, maxiter=la.maxiter,
         tol=la.tol, cg_tol=la.cg_tol, cg_maxiter=la.cg_maxiter,
         damping=la.damping, block_size=la.block_size, noise=noise,
+        precond_rank=la.precond_rank, storage=la.storage,
     )
     # one extra Newton step at the mode for the SOLVED representer weight
-    kmv = _k_matvec(kern, as_points(x), la.block_size, noise)
-    _fnew, a = _newton_body_cg(lik, ys, kmv, f_opt, la.cg_tol,
-                               la.cg_maxiter, 1.0)
+    kmv = _k_matvec(kern, as_points(x), la.block_size, noise, la.storage)
+    Lr = _b_precond(kern, as_points(x), la.precond_rank)
+    _fnew, a, _s = _newton_body_cg(lik, ys, kmv, f_opt, la.cg_tol,
+                                   la.cg_maxiter, 1.0, Lr=Lr)
     _ll, _d_ll, d2_ll = lik.log_prob_d1_d2(f_opt, ys)
     return LaplaceCGPosterior(
         lfx=lfx, f_opt=f_opt, a=a, Wsqrt=jnp.sqrt(-d2_ll),
@@ -424,4 +530,5 @@ def _approx_lml_laplace_cg(la: LaplaceCG, lfx: LatentFiniteGP, ys, *,
         block_size=la.block_size, f_init=la.f_init, maxiter=la.maxiter,
         tol=la.tol, cg_tol=la.cg_tol, cg_maxiter=la.cg_maxiter,
         damping=la.damping, noise=lfx.fx.noise,
+        precond_rank=la.precond_rank, storage=la.storage,
     )

@@ -261,7 +261,11 @@ def vecchia_build(N=1_000_000, k=32, block=8192, iters=3):
 
 def laplace_cg_mode(N=20000, iters=2):
     """Matrix-free Laplace mode-finding at a size where the dense path needs
-    a 1.6 GB gram + an O(N^3) Cholesky per Newton step."""
+    a 1.6 GB gram + an O(N^3) Cholesky per Newton step.  Round-3 fast-solve
+    defaults engage: rank-128 Woodbury preconditioning of the inner B-solve,
+    HBM-resident Gram (N <= config.cg_dense_threshold), CG warm-starting
+    across Newton steps, and the f32 stall detector (stops when the step
+    size hits the evaluation-noise floor)."""
     import approximategps_tpu as agp
     from approximategps_tpu.models.laplace_cg import newton_inner_loop_cg
 
@@ -273,14 +277,17 @@ def laplace_cg_mode(N=20000, iters=2):
     )
     lik = agp.BernoulliLikelihood()
     kern = 1.5 * agp.with_lengthscale(agp.SqExponentialKernel(), 1.2)
+    # big-N config: chunked matvecs + stronger preconditioner
+    big = N > 24576
+    kw = dict(precond_rank=512, block_size=8192) if big else {}
 
     def make_run(n):
         @jax.jit
         def run(x):
             def body(c, _):
                 f = newton_inner_loop_cg(
-                    lik, y, kern, x + c * 0, maxiter=15, tol=1e-4,
-                    cg_tol=1e-4, cg_maxiter=200, block_size=4096,
+                    lik, y, kern, x + c * 0, maxiter=60, tol=1e-4,
+                    cg_tol=1e-6, cg_maxiter=400, **kw,
                 )
                 return jnp.sum(f) * 1e-20, 0.0
 
@@ -444,7 +451,11 @@ def main():
             ("vecchia_band_build_ms(N=1e6,k=32)", vecchia_build),
             ("block_vecchia_lml_ms(N=1e6,b=64,k=64)", block_vecchia_lml),
             ("laplace_newton_lml_grad_ms(N=5000)", laplace_n5k),
-            ("laplace_cg_newton_mode_ms(N=2e4,blocked)", laplace_cg_mode),
+            ("laplace_cg_newton_mode_ms(N=2e4,K-resident+precond)", laplace_cg_mode),
+            (
+                "laplace_cg_newton_mode_ms(N=1e5,chunked+precond512)",
+                partial(laplace_cg_mode, N=100_000, iters=1),
+            ),
             ("poisson_svgp_elbo_grad_step_ms(N=1e5,M=1024,B=8192)", poisson_svgp),
         ]:
             try:

@@ -322,7 +322,7 @@ def test_logdet_B_slq_grad_conformance():
     K = kern.gram(xp)
 
     def slq(w):
-        return _logdet_B_slq(N, 1e-12, 2000, None, w, kern, xp,
+        return _logdet_B_slq(N, 1e-12, 2000, None, 0, "auto", w, kern, xp,
                              jnp.asarray(0.0), probes)
 
     # (a) exact estimator conformance
