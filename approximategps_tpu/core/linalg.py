@@ -397,20 +397,24 @@ def _panel_chol_eligible(A):
     mode = getattr(config, "chol_mode", "auto")
     if mode == "xla":
         return None
-    import jax as _jax
+    if mode == "auto":
+        # auto engages only on the real TPU for the fast dtypes; explicit
+        # "pallas" skips these gates (interpret mode handles f64/CPU — the
+        # oracle-suite route for exercising the kernel math)
+        import jax as _jax
 
-    on_tpu = _jax.default_backend() == "tpu"
-    if mode == "auto" and not on_tpu:
-        return None
-    if jnp.dtype(A.dtype) not in (jnp.dtype(jnp.float32),
-                                  jnp.dtype(jnp.bfloat16)):
-        return None
+        if _jax.default_backend() != "tpu":
+            return None
+        if jnp.dtype(A.dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16)):
+            return None
     from ..ops.panel_chol import chol_inv_supported
 
     M = A.shape[-1]
-    for panel in (128, 64):
-        if chol_inv_supported(M, A.dtype, panel):
-            return panel
+    # panel must itself be lane-aligned (128); 64-wide panels compile only
+    # in interpret mode (Mosaic rejects 64-wide lane slices on hardware)
+    if chol_inv_supported(M, A.dtype, 128):
+        return 128
     return None
 
 

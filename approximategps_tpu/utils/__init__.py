@@ -14,7 +14,9 @@ from .training import (
     build_svgp,
     init_svgp_params,
     lbfgs_fit,
+    make_natgrad_adam_step,
     natgrad_update,
+    natgrad_update_tril,
 )
 from .profiling import StepTimer, named_scope, time_fn, trace
 from .data import epoch_batches, minibatch_iterator

@@ -27,6 +27,8 @@ __all__ = [
     "adam_fit",
     "lbfgs_fit",
     "natgrad_update",
+    "natgrad_update_tril",
+    "make_natgrad_adam_step",
 ]
 
 
@@ -104,9 +106,11 @@ def adam_fit(
     return params, losses
 
 
-def natgrad_update(m, S_L, grad_m, grad_S, lr: float = 0.1):
-    """One natural-gradient step on the variational (m, S) of a Centered
-    SVGP, in expectation-parameter space.
+def _natgrad_core(m, Sinv, grad_m, grad_S, lr):
+    """Shared (m, S) natural-gradient math given the current precision
+    S⁻¹ and ascent gradients of the ELBO w.r.t. (m, S).  All O(M³) work is
+    two fused ``chol_with_inv`` factorizations (the streamed-panel Pallas
+    kernel on TPU f32) plus MXU matmuls — no triangular solves.
 
     With natural params θ₁ = S⁻¹m, θ₂ = −½S⁻¹ and expectation params
     η₁ = m, η₂ = S + mmᵀ, the natural gradient of the ELBO w.r.t. θ is the
@@ -114,25 +118,126 @@ def natgrad_update(m, S_L, grad_m, grad_S, lr: float = 0.1):
     dL/dη₂ = dL/dS:
         θ₂ ← θ₂ + lr·(dL/dS)        ⇒ S⁻¹ ← S⁻¹ − 2·lr·(dL/dS)
         θ₁ ← θ₁ + lr·(dL/dη₁)
+    Returns (m_new, L_new, Linv_new) with L_new = chol(S_new)."""
+    from ..core.linalg import chol_with_inv, symmetrize
+
+    hp = jax.lax.Precision.HIGHEST
+    theta1 = jnp.matmul(Sinv, m, precision=hp)
+    dL_deta1 = grad_m - 2.0 * jnp.matmul(grad_S, m, precision=hp)
+    theta1 = theta1 + lr * dL_deta1
+    Sinv_new = symmetrize(Sinv - 2.0 * lr * grad_S)
+    Li, Li_inv = chol_with_inv(Sinv_new)
+    # S_new = (L_i L_iᵀ)⁻¹ = L_i⁻ᵀ L_i⁻¹ — explicit inverse from the fused
+    # factor, one matmul
+    S_new = symmetrize(jnp.matmul(Li_inv.T, Li_inv, precision=hp))
+    m_new = jnp.matmul(S_new, theta1, precision=hp)
+    L_new, Linv_new = chol_with_inv(S_new)
+    return m_new, L_new, Linv_new
+
+
+def natgrad_update(m, S_L, grad_m, grad_S, lr: float = 0.1):
+    """One natural-gradient step on the variational (m, S) of an SVGP in
+    expectation-parameter space (see :func:`_natgrad_core` for the math).
     Returns updated (m, S_L).  ``grad_m``/``grad_S`` are ascent gradients of
     the ELBO w.r.t. m and S (dense symmetric)."""
-    S = S_L @ S_L.T
-    Sinv = jax.scipy.linalg.cho_solve((S_L, True), jnp.eye(S.shape[0], dtype=S.dtype))
-    theta1 = Sinv @ m
-    theta2 = -0.5 * Sinv
-    dL_deta1 = grad_m - 2.0 * grad_S @ m
-    dL_deta2 = grad_S
-    theta1 = theta1 + lr * dL_deta1
-    theta2 = theta2 + lr * dL_deta2
-    Sinv_new = -2.0 * theta2
-    Sinv_new = 0.5 * (Sinv_new + Sinv_new.T)
-    Sinv_L = jnp.linalg.cholesky(Sinv_new)
-    S_new = jax.scipy.linalg.cho_solve(
-        (Sinv_L, True), jnp.eye(S.shape[0], dtype=S.dtype)
-    )
-    S_new = 0.5 * (S_new + S_new.T)
-    m_new = S_new @ theta1
-    return m_new, jnp.linalg.cholesky(S_new)
+    from ..core.linalg import blocked_tril_inv
+
+    hp = jax.lax.Precision.HIGHEST
+    Linv = blocked_tril_inv(S_L)
+    Sinv = jnp.matmul(Linv.T, Linv, precision=hp)
+    m_new, L_new, _ = _natgrad_core(m, Sinv, grad_m, grad_S, lr)
+    return m_new, L_new
+
+
+def natgrad_update_tril(m, L, grad_m, grad_L, lr: float = 0.1, Linv=None):
+    """Natural-gradient step from SCALE-TRIL gradients: same update as
+    :func:`natgrad_update` but consuming the gradient w.r.t. q's Cholesky
+    factor L — what ``jax.grad`` produces when the ELBO is written directly
+    in terms of ``MultivariateNormal(m, L)``, so no dense-S
+    reparameterization (and no extra M×M Cholesky) is needed inside the
+    training step.
+
+    The L̄ → S̄ conversion is the Cholesky pullback evaluated matmul-only
+    from L⁻¹ (Murray 2016 eq. 8): with f(S) = g(chol(S)),
+    S̄ = sym(L⁻ᵀ Φ(Lᵀ L̄) L⁻¹).  Pass ``Linv`` (carried from the previous
+    step's return) to skip the triangular inversion.  Returns
+    ``(m_new, L_new, Linv_new)`` — the carried triple for
+    :func:`make_natgrad_adam_step`."""
+    from ..core.linalg import _chol_bwd_from_inv, blocked_tril_inv
+
+    hp = jax.lax.Precision.HIGHEST
+    if Linv is None:
+        Linv = blocked_tril_inv(L)
+    grad_S = _chol_bwd_from_inv(L, Linv, jnp.tril(grad_L))
+    Sinv = jnp.matmul(Linv.T, Linv, precision=hp)
+    return _natgrad_core(m, Sinv, grad_m, grad_S, lr)
+
+
+def make_natgrad_adam_step(
+    elbo_fn: Callable,
+    optimizer=None,
+    nat_lr: float = 0.1,
+    learning_rate: float = 1e-3,
+    gradient_precision: str | None = "highest",
+):
+    """Fused hybrid training step — the standard large-scale SVGP recipe:
+    Adam on the hyperparameters, one natural-gradient step on the
+    variational (m, S), all inside ONE jitted function (one compiled
+    program per step; VERDICT r2 item 9).
+
+    ``elbo_fn(hyper, m, L, *batch)`` must return the ELBO (to MAXIMIZE) of
+    a model whose variational distribution is ``MultivariateNormal(m, L)``
+    (Centered for exact-conjugate natgrad semantics, NonCentered for the
+    whitened variant — the update is agnostic; cf. the stretch recipe in
+    ``tests/test_parallel.py::test_stretch_pipeline_whitened_natgrad_dp``).
+
+    Returns ``(step, init)`` where ``init(hyper, m, L)`` builds the carry
+    ``(hyper, opt_state, m, L, Linv)`` and ``step(carry, *batch)`` returns
+    ``(carry, elbo)``.  The carried L⁻¹ feeds the L̄ → S̄ Cholesky pullback
+    so the natgrad's only O(M³) factorizations are the two fused
+    ``chol_with_inv`` calls inside :func:`_natgrad_core`.
+
+    ``gradient_precision`` (default "highest") pins the matmul precision of
+    the ELBO gradient pass.  Natural gradients consume the gradient
+    ADDITIVELY into a precision matrix that must stay PD: at M=2048 / TPU
+    f32, the default bf16-pass projection matmuls leave ~±1e3 absolute
+    noise on S̄ entries whose true magnitude is O(1) — a 3% relative error
+    that Adam shrugs off but that drives S⁻¹ − 2·lr·S̄ indefinite and NaNs
+    the factorization (measured; same failure class as the CG-matvec
+    precision rule in BENCH_NOTES).  Pass ``None`` to inherit the ambient
+    config (e.g. for f64 oracle runs where bf16 passes don't exist)."""
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+
+    def init(hyper, m, L):
+        from ..core.linalg import blocked_tril_inv
+
+        return (hyper, opt.init(hyper), m, L, blocked_tril_inv(L))
+
+    def _value_and_grads(hyper, m, L, *batch):
+        if gradient_precision is None:
+            return jax.value_and_grad(elbo_fn, argnums=(0, 1, 2))(
+                hyper, m, L, *batch
+            )
+        from ..config import config_context
+
+        with config_context(matmul_precision=gradient_precision):
+            return jax.value_and_grad(elbo_fn, argnums=(0, 1, 2))(
+                hyper, m, L, *batch
+            )
+
+    @jax.jit
+    def step(carry, *batch):
+        hyper, opt_state, m, L, Linv = carry
+        e, (g_h, g_m, g_L) = _value_and_grads(hyper, m, L, *batch)
+        # optax minimizes: feed it gradients of −elbo
+        updates, opt_state = opt.update(
+            jax.tree_util.tree_map(jnp.negative, g_h), opt_state, hyper
+        )
+        hyper = optax.apply_updates(hyper, updates)
+        m, L, Linv = natgrad_update_tril(m, L, g_m, g_L, lr=nat_lr, Linv=Linv)
+        return (hyper, opt_state, m, L, Linv), e
+
+    return step, init
 
 
 def lbfgs_fit(

@@ -299,6 +299,124 @@ def laplace_cg_mode(N=20000, iters=2):
     return chained_step_ms(make_run, iters=iters)
 
 
+def svgp_predict_sweep(M=2048, Ntest=1_000_000, D=8, block=16384, iters=5):
+    """Serving path (VERDICT r2 item 4): posterior (mean, var) sweep over
+    1e6 test points through ``SVGPPosterior.predict_blocks`` — a lax.scan
+    over 16k-point blocks, each through the fused Pallas data-term epilogue
+    so the (M, B) cross-covariance and S·K intermediates never touch HBM.
+    Reports ms per full sweep and effective GB/s over the unavoidable HBM
+    traffic (test inputs in + mean/var out)."""
+    import approximategps_tpu as agp
+    from approximategps_tpu.utils.bijectors import softplus
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    xs = jax.random.normal(key, (Ntest, D), dtype=dtype)
+    params = _svgp_params(M, D, key, dtype)
+
+    def build_posterior(params):
+        kernel = softplus(params["k"][0]) * agp.with_lengthscale(
+            agp.SqExponentialKernel(), softplus(params["k"][1])
+        )
+        f = agp.GP(kernel)
+        fz = f(params["z"], 1e-6)
+        q = agp.MultivariateNormal(params["m"], jnp.tril(params["A"]))
+        return agp.posterior(agp.SparseVariationalApproximation(fz, q))
+
+    def make_run(n):
+        @jax.jit
+        def run(params, xs):
+            post = build_posterior(params)
+
+            def body(c, _):
+                mu, var = post.predict_blocks(xs + c * 0, block_size=block)
+                return jnp.sum(mu) * 1e-30 + jnp.sum(var) * 1e-30, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+
+        return partial(run, params, xs)
+
+    ms = chained_step_ms(make_run, iters=iters)
+    gb = Ntest * (D + 2) * 4 / 1e9
+    # analytic model FLOPs: per test point, gram (2·M·D) + S_corr
+    # projection (2·M², dominant) + O(M) epilogue reductions
+    tflops = Ntest * (2 * M * D + 2 * M * M + 4 * M) / (ms * 1e9)
+    peak = _peak_tflops()
+    print(
+        json.dumps(
+            {
+                "metric": f"svgp_predict_sweep_io(Ntest=1e6,M={M})",
+                "io_gb": round(gb, 3),
+                "io_gbps": round(gb / (ms / 1e3), 1),
+                "achieved_tflops": round(tflops, 1),
+                **(
+                    {"mxu_fraction": round(tflops / peak, 3)}
+                    if peak
+                    else {}
+                ),
+            }
+        ),
+        file=sys.stderr,
+    )
+    return ms
+
+
+def natgrad_hybrid(M=2048, batch=8192, D=8, num_data=1_000_000, iters=10):
+    """VERDICT r2 item 9: one fused hybrid step at headline scale — Adam on
+    the kernel hypers + inducing points, WHITENED natural-gradient update on
+    the variational (m, S) — per-step minibatch gather included, everything
+    in one jitted scan body.  The natgrad's O(M³) work is two fused
+    streamed-panel (L, L⁻¹) factorizations plus MXU matmuls (no triangular
+    solves); the carried L⁻¹ feeds the L̄ → S̄ Cholesky pullback."""
+    import optax
+
+    import approximategps_tpu as agp
+    from approximategps_tpu.utils.bijectors import softplus
+    from approximategps_tpu.utils.training import make_natgrad_adam_step
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    x_full = jax.random.normal(key, (num_data, D), dtype=dtype)
+    y_full = jnp.sin(x_full[:, 0]) + 0.1 * jax.random.normal(
+        jax.random.fold_in(key, 2), (num_data,), dtype=dtype
+    )
+
+    def elbo_fn(hyper, m, L, xb, yb):
+        kernel = softplus(hyper["k"][0]) * agp.with_lengthscale(
+            agp.SqExponentialKernel(), softplus(hyper["k"][1])
+        )
+        f = agp.GP(kernel)
+        fz = f(hyper["z"], 1e-6)
+        q = agp.MultivariateNormal(m, jnp.tril(L))
+        sva = agp.SparseVariationalApproximation(fz, q)  # NonCentered
+        return agp.elbo(sva, f(xb, 0.1), yb, num_data=num_data)
+
+    p = _svgp_params(M, D, key, dtype)
+    hyper0 = {"k": p["k"], "z": p["z"]}
+    step, init = make_natgrad_adam_step(elbo_fn, optax.adam(1e-3), nat_lr=0.1)
+    carry0 = jax.jit(init)(hyper0, p["m"], p["A"])
+
+    def body(carry, i):
+        idx = jax.random.randint(
+            jax.random.fold_in(key, i), (batch,), 0, num_data
+        )
+        carry, e = step(carry, x_full[idx], y_full[idx])
+        return carry, e
+
+    def make_run(n):
+        @jax.jit
+        def run(carry):
+            (hyper, _, m, L, _), es = jax.lax.scan(
+                body, carry, jnp.arange(n)
+            )
+            return es[-1] + jnp.sum(m) * 0.0 + jnp.sum(hyper["k"]) * 0.0
+
+        return partial(run, carry0)
+
+    return chained_step_ms(make_run, iters=iters)
+
+
 def poisson_svgp(M=1024, batch=8192, num_data=100_000, iters=10):
     """BASELINE.json config #3: non-conjugate SVGP, Poisson likelihood,
     analytic expected-LL (exp link), minibatch Adam step."""
@@ -448,6 +566,8 @@ def main():
                 "svgp_streaming_fullbatch_elbo_grad_ms(N=1e7,M=2048)",
                 partial(full_streaming, N=10_000_000, iters=2),
             ),
+            ("svgp_predict_mean_var_sweep_ms(Ntest=1e6,M=2048)", svgp_predict_sweep),
+            ("natgrad_adam_hybrid_step_ms(N=1e6,M=2048,B=8192)", natgrad_hybrid),
             ("vecchia_band_build_ms(N=1e6,k=32)", vecchia_build),
             ("block_vecchia_lml_ms(N=1e6,b=64,k=64)", block_vecchia_lml),
             ("laplace_newton_lml_grad_ms(N=5000)", laplace_n5k),

@@ -41,6 +41,23 @@ def test_auto_resolves_to_fast_path_on_tpu(monkeypatch):
     assert resolve_solve_mode() == "inv_matmul"
 
 
+def test_auto_solve_mode_gates_on_size(monkeypatch):
+    """The auto fast path engages only at MXU-bound M (>= 512): small-M
+    problems are latency-trivial for triangular AND are where
+    near-coincident inducing points make an explicit f32 inverse unsafe
+    (example a, M=20: inv_matmul diverges, triangular converges)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_solve_mode(jnp.float32, size=512) == "inv_matmul"
+    assert resolve_solve_mode(jnp.float32, size=2048) == "inv_matmul"
+    assert resolve_solve_mode(jnp.float32, size=511) == "triangular"
+    assert resolve_solve_mode(jnp.float32, size=20) == "triangular"
+    # explicit setting overrides the gate in both directions
+    with config_context(solve_mode="inv_matmul"):
+        assert resolve_solve_mode(jnp.float32, size=20) == "inv_matmul"
+    with config_context(solve_mode="triangular"):
+        assert resolve_solve_mode(jnp.float32, size=2048) == "triangular"
+
+
 def test_explicit_values_pass_through(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     with config_context(solve_mode="triangular", matmul_precision="highest"):
@@ -58,9 +75,8 @@ def test_posterior_uses_fast_cache_on_mocked_tpu(monkeypatch):
     import approximategps_tpu as agp
 
     f = agp.GP(agp.SqExponentialKernel())
-    z = jnp.linspace(-1.0, 1.0, 8)
-    fz = f(z, 1e-4)
-    M = 8
+    M = 512  # >= the auto fast-path size gate
+    z = jnp.linspace(-50.0, 50.0, M)
 
     def build(dtype):
         q = agp.MultivariateNormal(
@@ -71,8 +87,11 @@ def test_posterior_uses_fast_cache_on_mocked_tpu(monkeypatch):
         return agp.posterior(sva)
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    post32 = build(jnp.float32)
-    assert post32.cache.Lk_inv is not None
-    assert post32.cache.S_corr is not None
-    post64 = build(jnp.float64)
-    assert post64.cache.Lk_inv is None
+    # chol_mode="xla": the mocked backend would otherwise dispatch the
+    # Pallas panel kernel onto the real CPU backend (compile error)
+    with config_context(chol_mode="xla"):
+        post32 = build(jnp.float32)
+        assert post32.cache.Lk_inv is not None
+        assert post32.cache.S_corr is not None
+        post64 = build(jnp.float64)
+        assert post64.cache.Lk_inv is None

@@ -547,3 +547,33 @@ def test_bf16_compute_dtype_accuracy(elbo_setup):
     with config_context(solve_mode="inv_matmul", compute_dtype="float32"):
         e64_ref = float(agp.elbo(sva, f(x, 0.1), y))
     np.testing.assert_allclose(e64, e64_ref, rtol=1e-12)
+
+
+def test_predict_blocks_matches_mean_and_var(elbo_setup):
+    """The serving sweep (scan over blocks, fused epilogue when available)
+    equals pointwise mean_and_var — including the padded remainder block
+    and the forced-Pallas (interpret) route."""
+    from approximategps_tpu.config import config_context
+
+    x, y = elbo_setup
+    M = 6
+    f = agp.GP(make_kernel([0.2, 0.6]))
+    fz = f(x[:M], 1e-6)
+    q = agp.MultivariateNormal(jnp.linspace(-0.2, 0.3, M), 0.7 * jnp.eye(M))
+    sva = agp.SparseVariationalApproximation(fz, q)
+    xs = jnp.linspace(-1.0, 11.0, 53)  # 53 % 16 != 0 → pad path
+
+    with config_context(solve_mode="inv_matmul"):
+        post = agp.posterior(sva)
+        mu_ref, var_ref = post.mean_and_var(xs)
+        mu_b, var_b = post.predict_blocks(xs, block_size=16)
+        np.testing.assert_allclose(mu_b, mu_ref, atol=1e-10)
+        np.testing.assert_allclose(var_b, var_ref, atol=1e-10)
+
+    with config_context(
+        solve_mode="inv_matmul", data_term_mode="pallas", pallas_interpret=True
+    ):
+        post = agp.posterior(sva)
+        mu_p, var_p = post.predict_blocks(xs, block_size=16)
+        np.testing.assert_allclose(mu_p, mu_ref, atol=1e-9)
+        np.testing.assert_allclose(var_p, var_ref, atol=1e-9)

@@ -114,6 +114,99 @@ def test_natgrad_step_moves_toward_optimum(key):
     np.testing.assert_allclose(np.asarray(L1 @ L1.T), S_opt, atol=1e-8)
 
 
+def test_natgrad_update_tril_matches_dense_S(key):
+    """The scale-tril natgrad (gradients w.r.t. q's Cholesky factor,
+    converted L̄ → S̄ via the matmul-only Cholesky pullback) produces the
+    SAME update as natgrad_update fed dense-S gradients — on a non-trivial
+    point (m, S ≠ I) and lr < 1."""
+    from approximategps_tpu.utils.training import natgrad_update_tril
+
+    n = 6
+    k1, k2, k3 = jax.random.split(key, 3)
+    y = jax.random.normal(k1, (n,))
+    s2 = 0.3
+
+    def elbo_mL(m, L):
+        ell = -0.5 * jnp.sum(((y - m) ** 2 + jnp.sum(jnp.tril(L) ** 2, 1)) / s2)
+        q = agp.MultivariateNormal(m, jnp.tril(L))
+        p = agp.MultivariateNormal(jnp.zeros(n), jnp.eye(n))
+        return ell - agp.kl_divergence(q, p)
+
+    def elbo_mS(m, S):
+        return elbo_mL(m, jnp.linalg.cholesky(S))
+
+    R = 0.3 * jax.random.normal(k2, (n, n))
+    S0 = R @ R.T + jnp.eye(n)
+    L0 = jnp.linalg.cholesky(S0)
+    m0 = jax.random.normal(k3, (n,))
+
+    gm, gS = jax.grad(elbo_mS, argnums=(0, 1))(m0, S0)
+    m1a, L1a = natgrad_update(m0, L0, gm, gS, lr=0.7)
+
+    gm2, gL = jax.grad(elbo_mL, argnums=(0, 1))(m0, L0)
+    m1b, L1b, Linv1 = natgrad_update_tril(m0, L0, gm2, gL, lr=0.7)
+
+    np.testing.assert_allclose(np.asarray(m1b), np.asarray(m1a), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(L1b), np.asarray(L1a), atol=1e-9)
+    # the carried inverse really is L1⁻¹
+    np.testing.assert_allclose(
+        np.asarray(Linv1 @ L1b), np.eye(n), atol=1e-9
+    )
+
+
+def test_hybrid_natgrad_adam_step_conjugate_exact(key):
+    """make_natgrad_adam_step: one fused hybrid step (Adam on hypers,
+    whitened natgrad with lr=1 on (m, L)) from an arbitrary start lands the
+    variational distribution exactly on the optimal q for the OLD
+    hyperparameters — the ELBO evaluated at (old hyper, new q) equals the
+    collapsed Titsias bound — while Adam moves the hypers."""
+    import optax
+
+    from approximategps_tpu.models.vfe import VFE, vfe_elbo
+    from approximategps_tpu.utils.bijectors import softplus
+    from approximategps_tpu.utils.training import make_natgrad_adam_step
+
+    n, M = 40, 8
+    k1, k2 = jax.random.split(key)
+    x = jnp.sort(jax.random.uniform(k1, (n,), minval=0.0, maxval=6.0))
+    y = jnp.sin(x) + 0.1 * jax.random.normal(k2, (n,))
+    noise = 0.1
+    z = x[:: n // M][:M]
+
+    def elbo_fn(hyper, m, L, xb, yb):
+        kernel = softplus(hyper[0]) * agp.with_lengthscale(
+            agp.SqExponentialKernel(), softplus(hyper[1])
+        )
+        f = agp.GP(kernel)
+        fz = f(z, 1e-8)
+        q = agp.MultivariateNormal(m, jnp.tril(L))
+        sva = agp.SparseVariationalApproximation(fz, q)  # NonCentered
+        return agp.elbo(sva, f(xb, noise), yb)
+
+    hyper0 = jnp.array([0.5, 0.5])
+    m0 = 0.3 * jnp.ones(M)
+    L0 = 1.4 * jnp.eye(M)
+    step, init = make_natgrad_adam_step(
+        elbo_fn, optax.adam(1e-2), nat_lr=1.0
+    )
+    carry = init(hyper0, m0, L0)
+    (hyper1, _, m1, L1, Linv1), e0 = step(carry, x, y)
+
+    assert np.isfinite(float(e0))
+    assert not np.allclose(np.asarray(hyper1), np.asarray(hyper0))
+    # q after one lr=1 conjugate natgrad step is optimal for hyper0
+    e1 = elbo_fn(hyper0, m1, L1, x, y)
+    kernel0 = softplus(hyper0[0]) * agp.with_lengthscale(
+        agp.SqExponentialKernel(), softplus(hyper0[1])
+    )
+    f0 = agp.GP(kernel0)
+    bound = vfe_elbo(VFE(f0(z, 1e-8)), f0(x, noise), y)
+    np.testing.assert_allclose(float(e1), float(bound), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(Linv1 @ L1), np.eye(M), atol=1e-8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pallas ops (interpret mode on CPU)
 # ---------------------------------------------------------------------------
@@ -307,7 +400,7 @@ def test_chol_with_inv_pallas_route_values_and_gradients():
     from approximategps_tpu.core.linalg import chol_with_inv
 
     key = jax.random.PRNGKey(8)
-    M = 256
+    M = 512  # hardware-eligible shape (M % 512 == 0) so "pallas" engages
     R = jax.random.normal(key, (M, M))
 
     def loss(R):
