@@ -64,6 +64,14 @@ class _Config:
     #   "pallas": force the Pallas kernel (interpret mode off-TPU)
     #   "xla":    always the XLA path
     chol_mode: str = os.environ.get("AGP_CHOL_MODE", "auto")
+    # Glue-matmul precision for the 2×2 split (L, L⁻¹) recursion that takes
+    # over beyond the Pallas panel kernel's VMEM budget (M ≥ 4096):
+    # "highest" (6-pass, 1e-7-class factors), "high" (3-pass, 4e-6 — the
+    # measured speed/accuracy Pareto point, default), "default" (bf16,
+    # 1e-3 — can break PSD-ness for sharp grams).  See
+    # linalg._chol_inv_split for the measured triple.
+    chol_split_precision: str = os.environ.get("AGP_CHOL_SPLIT_PRECISION",
+                                               "high")
     # Storage dtype for the large O(M·B) projection intermediates (Kuf, A,
     # BᵀA) in the SVGP data-term path:
     #   "float32":  full-width storage (default)
@@ -71,6 +79,16 @@ class _Config:
     #               traffic of the step's biggest tensors; master params,
     #               factorizations, KL and all reductions stay f32.
     compute_dtype: str = os.environ.get("AGP_COMPUTE_DTYPE", "float32")
+    # Largest M for which the posterior build forms the S-correction matrix
+    # S = Lk⁻ᵀ(BBᵀ−I)Lk⁻¹ (and with it the fused whitened-cache composite
+    # and the Pallas data-term epilogue).  S_corr trades a one-time
+    # 6M³-flop build (plus a ~9-matmul M³ pullback) for one fewer (M, B)
+    # projection per variance evaluation — a win while M ≲ 0.4·B (measured
+    # crossover at B=8192: M=2048 step 3.9 ms with vs 5.1 without; M=8192
+    # step 146.8 ms with vs 59.6 without — the M³ terms dominate there).
+    # Raise it (or set very large) for streaming/serving workloads that
+    # amortize one posterior over many blocks, where S_corr always wins.
+    s_corr_max_m: int = int(os.environ.get("AGP_S_CORR_MAX_M", "4096"))
     # Default jitter added to Kuu/Kff diagonals when the user passes none.
     default_jitter: float = 1e-8
     # Matrix-free tier storage policy: N at or below this materializes the

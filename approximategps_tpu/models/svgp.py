@@ -282,13 +282,13 @@ def _whitened_cache_fused(Kuu, Lq, m):
     in one composite with a hand-derived minimal pullback.
 
     XLA autodiff of the three-matmul S build plus the chol/inv rules costs
-    ~11 M×M backward matmuls; this pullback does it in 9, reusing
-    ``P = J·dS_sym`` across the C0-, Lq- and J-cotangents:
+    ~11 M×M backward matmuls; this pullback does it in 7, reusing
+    ``P = J·dS_sym`` across the C0-, Lq- and J-cotangents and collapsing
+    the (L̄k, J̄) → K̄uu chain into one Φ-sandwich:
 
         dSs = dS + dSᵀ;  P = J dSs;  L̄q = (P Jᵀ) Lq;
         J̄  = C0 P + m⊗dα + dJ;      m̄ = J dα;
-        L̄k = tril(−Jᵀ J̄ Jᵀ) + tril(dLk);
-        K̄uu = sym(Jᵀ Φ(Lkᵀ L̄k) J).
+        K̄uu = sym(Jᵀ Φ(Lkᵀ tril(dLk) − J̄ Jᵀ) J).
 
     Ablation-driven (round 2): the posterior build was 2.5 ms of the 4.6 ms
     headline step at only ~72 TF/s effective; the data term already runs at
@@ -322,7 +322,7 @@ def _whitened_cache_fwd(Kuu, Lq, m):
 def _whitened_cache_bwd(res, cts):
     from jax.custom_derivatives import SymbolicZero
 
-    from ..core.linalg import _chol_bwd_from_inv, _tril_inv_bwd_math
+    from ..core.linalg import _inv_chol_bwd_fused
 
     Lk, J, C0, Lq, m = res
     dLk, dJ, dalpha, dS = cts
@@ -344,16 +344,10 @@ def _whitened_cache_bwd(res, cts):
     if not isinstance(dJ, SymbolicZero):
         J_bar = dJ if J_bar is None else J_bar + dJ
 
-    Lk_bar = None
-    if J_bar is not None:
-        Lk_bar = _tril_inv_bwd_math(J, J_bar)
-    if not isinstance(dLk, SymbolicZero):
-        t = jnp.tril(dLk)
-        Lk_bar = t if Lk_bar is None else Lk_bar + t
-    if Lk_bar is None:
-        Kuu_bar = jnp.zeros_like(C0)
-    else:
-        Kuu_bar = _chol_bwd_from_inv(Lk, J, Lk_bar)
+    # (L̄k, J̄) → K̄uu in one fused Φ-sandwich (3-4 matmuls, down from the
+    # chained tril-inv-then-chol form's 5 — see _inv_chol_bwd_fused)
+    Lk_bar = None if isinstance(dLk, SymbolicZero) else dLk
+    Kuu_bar = _inv_chol_bwd_fused(Lk, J, Lk_bar, J_bar)
     return Kuu_bar, Lq_bar, m_bar
 
 
@@ -373,9 +367,16 @@ def _posterior_svgp(
         _check_consistent_prior(sva, lfx)
     q, fz = sva.q, sva.fz
     m = q.mean
-    solve_mode = resolve_solve_mode(jnp.result_type(m), size=m.shape[-1])
-    if solve_mode == "inv_matmul" and not isinstance(
-        sva.parametrization, Centered
+    M = m.shape[-1]
+    solve_mode = resolve_solve_mode(jnp.result_type(m), size=M)
+    # S-correction only while its one-time 6M³ build (+M³-scale pullback)
+    # beats one extra (M, B) projection per variance evaluation — see
+    # config.s_corr_max_m for the measured crossover
+    use_s_corr = M <= config.s_corr_max_m
+    if (
+        solve_mode == "inv_matmul"
+        and use_s_corr
+        and not isinstance(sva.parametrization, Centered)
     ):
         # NonCentered hot path: fused composite with the minimal pullback
         Kuu_L, Lk_inv, alpha, S_corr = _whitened_cache_fused(
@@ -412,7 +413,7 @@ def _posterior_svgp(
             alpha = linalg.solve_upper_triangular(Kuu_L.T, m)
         B = q.scale_tril
     S_corr = None
-    if Lk_inv is not None:
+    if Lk_inv is not None and use_s_corr:
         # three M×M matmuls, paid once per posterior (vs one extra (M, B)
         # projection per variance evaluation — the ELBO hot path)
         prec = resolve_matmul_precision(B.dtype)

@@ -22,10 +22,46 @@ for arg in "$@"; do
   esac
 done
 
-echo "=== [1/4] pytest (CPU f64, 8 virtual devices) ==="
+echo "=== [1/6] pytest (CPU f64, 8 virtual devices) ==="
+t0=$(date +%s)
 python -m pytest tests/ -q
+t1=$(date +%s)
+suite_s=$((t1 - t0))
+echo "suite wall time: ${suite_s}s"
+# VERDICT r2 item 8: keep the feedback loop <= 6 min on this box
+if (( suite_s > 360 )); then
+  echo "FAIL: test suite took ${suite_s}s (> 360s budget)" >&2
+  exit 1
+fi
 
-echo "=== [2/4] driver entry checks ==="
+echo "=== [2/6] docs build + link check ==="
+python scripts/build_docs.py --check
+
+echo "=== [3/6] examples a/b/c (headless, CPU, reduced sizes) ==="
+python - <<'EOF'
+import sys
+
+import jax
+
+# CPU for CI: instant compiles, f64 available; the TPU surface is covered
+# by tpu_check.  (JAX_PLATFORMS env is ignored on this stack — set the
+# config before backend init, see CLAUDE.md.)
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, "examples")
+import importlib
+
+a = importlib.import_module("a_regression")
+# reduced N keeps the step count (epochs*N/batch) near the full run's 3000
+# Adam steps -- fewer undertrains past the example's rmse<0.2 assert
+a.main(N=2000, M=20, batch_size=100, epochs=150)
+b = importlib.import_module("b_classification")
+b.main()
+c = importlib.import_module("c_comparisons")
+c.main()
+print("examples a/b/c ok")
+EOF
+
+echo "=== [4/6] driver entry checks ==="
 python - <<'EOF'
 import jax
 import __graft_entry__ as g
@@ -50,14 +86,14 @@ EOF
 )
 
 if [[ "$RUN_TPU" == 1 && "$have_tpu" == 1 ]]; then
-  echo "=== [3/4] TPU f32 integration check ==="
+  echo "=== [5/6] TPU f32 integration check ==="
   python scripts/tpu_check.py
 else
-  echo "=== [3/4] TPU check skipped (no TPU backend or --no-tpu) ==="
+  echo "=== [5/6] TPU check skipped (no TPU backend or --no-tpu) ==="
 fi
 
 if [[ "$RUN_BENCH" == 1 && "$have_tpu" == 1 ]]; then
-  echo "=== [4/4] headline bench vs recorded snapshot ==="
+  echo "=== [6/6] headline bench vs recorded snapshot ==="
   python - <<'EOF'
 import json, re, subprocess, sys
 
@@ -84,7 +120,7 @@ else:
     print("no recorded headline in BENCH_NOTES.md; snapshot only")
 EOF
 else
-  echo "=== [4/4] bench skipped (no TPU backend or --no-bench) ==="
+  echo "=== [6/6] bench skipped (no TPU backend or --no-bench) ==="
 fi
 
 echo "CI OK"
