@@ -1,4 +1,4 @@
-from . import data_parallel
+from . import data_parallel, serving
 from .data_parallel import (
     data_mesh,
     make_dp_elbo,
@@ -6,3 +6,4 @@ from .data_parallel import (
     replicated,
     shard_batch,
 )
+from .serving import dp_predict_blocks

@@ -228,3 +228,24 @@ def test_stretch_pipeline_whitened_natgrad_dp():
     # one conjugate natgrad step is exactly optimal → ELBO == collapsed bound
     bound = vfe_elbo(VFE(fz), f(x, noise), y)
     np.testing.assert_allclose(float(e1), float(bound), rtol=1e-8)
+
+
+def test_dp_predict_blocks_matches_single_device():
+    """Scale-out serving: the mesh-sharded prediction sweep must agree with
+    the single-device posterior at every test point, including with a test
+    count that divides neither the mesh nor the block size (pad rows
+    computed-and-discarded on both axes)."""
+    from approximategps_tpu.parallel import dp_predict_blocks
+
+    mesh = data_mesh()
+    params = _params()
+    x, y = _data()
+    sva, fx = _model(params, x)
+    f_post = agp.posterior(sva)
+
+    xs = jnp.linspace(-1.0, 11.0, 203)  # 203 = not a multiple of 8 or 32
+    mu_ref, var_ref = f_post.mean_and_var(xs)
+    mu, var = dp_predict_blocks(f_post, xs, mesh, block_size=32)
+    assert mu.shape == (203,) and var.shape == (203,)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref), rtol=1e-10)
