@@ -85,7 +85,7 @@ class _Config:
     # 6M³-flop build (plus a ~9-matmul M³ pullback) for one fewer (M, B)
     # projection per variance evaluation — a win while M ≲ 0.4·B (measured
     # crossover at B=8192: M=2048 step 3.9 ms with vs 5.1 without; M=8192
-    # step 146.8 ms with vs 59.6 without — the M³ terms dominate there).
+    # step 146.8 ms with vs 130.8 without — the M³ terms dominate there).
     # Raise it (or set very large) for streaming/serving workloads that
     # amortize one posterior over many blocks, where S_corr always wins.
     s_corr_max_m: int = int(os.environ.get("AGP_S_CORR_MAX_M", "4096"))

@@ -119,7 +119,9 @@ def test_approx_lml(approx, noise_scale=0.1, seed=123456, rtol=1e-4, atol=1e-5):
         # root ignores observation noise (as in the reference, which tests it
         # with fx = GP(kern)(x, 0.0)) — compare noise-free evidences.
         fx0 = f(x, 0.0)
-        got = approx_lml(approx, fx0, y)
+        # jitted (x concrete in the closure, as the generalized-ordering
+        # host preprocessing requires): one cached graph per approx config
+        got = jax.jit(lambda y: approx_lml(approx, fx0, y))(y)
         exact = fx0.logpdf(y)
     else:
         lik = FunctionLikelihood(
@@ -128,7 +130,7 @@ def test_approx_lml(approx, noise_scale=0.1, seed=123456, rtol=1e-4, atol=1e-5):
             - 0.5 * jnp.log(2 * jnp.pi),
         )
         lfx = LatentGP(f, lik, 0.0)(x)
-        got = approx_lml(approx, lfx, y)
+        got = jax.jit(lambda y: approx_lml(approx, lfx, y))(y)
     np.testing.assert_allclose(float(got), float(exact), rtol=rtol, atol=atol)
 
 
@@ -155,7 +157,9 @@ def test_approximation_predictions(approx, noise_scale=0.1, seed=123456):
         sampler=lambda k, fv: fv + noise_scale * jax.random.normal(k, fv.shape),
     )
     lf = LatentGP(f, lik, jitter)
-    f_approx_post = posterior(approx, lf(x), y)
+    # jitted build: the expensive part (e.g. the Newton solve) runs as one
+    # cached graph; the returned posterior pytree has concrete leaves
+    f_approx_post = jax.jit(lambda y: posterior(approx, lf(x), y))(y)
 
     a = jnp.linspace(-1.2, 1.2, N_a)
     b = jax.random.normal(k2, (N_b,))
@@ -164,7 +168,7 @@ def test_approximation_predictions(approx, noise_scale=0.1, seed=123456):
     # exact GPR equivalence for Gaussian likelihood
     f_exact_post = exact_posterior(f(x, noise_scale**2), y)
     xt = jnp.concatenate([x, jax.random.normal(key, (3,))])
-    m_approx, c_approx = f_approx_post.mean_and_cov(xt)
-    m_exact, c_exact = f_exact_post.mean_and_cov(xt)
+    m_approx, c_approx = jax.jit(f_approx_post.mean_and_cov)(xt)
+    m_exact, c_exact = jax.jit(f_exact_post.mean_and_cov)(xt)
     np.testing.assert_allclose(m_approx, m_exact, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(c_approx, c_exact, rtol=1e-5, atol=1e-7)

@@ -163,21 +163,21 @@ def test_blocked_cholesky_and_inverse(key):
     for n in [96, 300]:
         A = jax.random.normal(jax.random.fold_in(key, n), (n, n))
         K = A @ A.T + n * jnp.eye(n)
-        L = blocked_cholesky(K, base=64)
+        L = jax.jit(lambda K: blocked_cholesky(K, base=64))(K)
         np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(K), rtol=1e-10)
         assert np.allclose(np.asarray(L), np.tril(np.asarray(L)))
-        Li = blocked_tril_inv(L, base=64)
+        Li = jax.jit(lambda L: blocked_tril_inv(L, base=64))(L)
         np.testing.assert_allclose(np.asarray(Li @ L), np.eye(n), atol=1e-10)
     # gradients agree with jnp.linalg.cholesky (compared through a symmetric
     # parameterization K = A Aᵀ — raw K-cotangent triangle conventions differ)
     n = 96
     A = jax.random.normal(key, (n, n))
-    g1 = jax.grad(
+    g1 = jax.jit(jax.grad(
         lambda A: jnp.sum(jnp.sin(blocked_cholesky(A @ A.T + n * jnp.eye(n), base=32)))
-    )(A)
-    g2 = jax.grad(
+    ))(A)
+    g2 = jax.jit(jax.grad(
         lambda A: jnp.sum(jnp.sin(jnp.linalg.cholesky(A @ A.T + n * jnp.eye(n))))
-    )(A)
+    ))(A)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
 
 
@@ -188,15 +188,19 @@ def test_predict_in_blocks(key):
     y = fx.sample(key)
     post = agp.posterior(fx, y)
     xt = jnp.linspace(-1, 6, 57)  # non-multiple of block
-    mu_b, var_b = agp.predict_in_blocks(post, xt, block_size=10)
-    mu, var = post.mean_and_var(xt)
+    mu_b, var_b = jax.jit(
+        lambda xt: agp.predict_in_blocks(post, xt, block_size=10)
+    )(xt)
+    mu, var = jax.jit(post.mean_and_var)(xt)
     np.testing.assert_allclose(mu_b, mu, atol=1e-12)
     np.testing.assert_allclose(var_b, var, atol=1e-12)
     # SVGP posterior too
     fz = f(x[:6], 1e-6)
     q = agp.MultivariateNormal(jnp.zeros(6), jnp.eye(6))
     sp = agp.posterior(agp.SparseVariationalApproximation(fz, q))
-    mu_b, var_b = agp.predict_in_blocks(sp, xt, block_size=8)
-    mu, var = sp.mean_and_var(xt)
+    mu_b, var_b = jax.jit(
+        lambda xt: agp.predict_in_blocks(sp, xt, block_size=8)
+    )(xt)
+    mu, var = jax.jit(sp.mean_and_var)(xt)
     np.testing.assert_allclose(mu_b, mu, atol=1e-12)
     np.testing.assert_allclose(var_b, var, atol=1e-12)

@@ -11,6 +11,7 @@ Cross-implementation agreement of (1) and (2) to ~1e-11 rules out a shared
 systematic error.  The fixed Bernoulli dataset is additionally the
 reference's shared test vector (``src/TestUtils.jl:19``)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -148,8 +149,12 @@ def test_vecchia_lml_golden():
     f, fx, fz, q, x, y = _svgp_fixture()
     a = _oracle_args()
     for k in (1, 4, 19):
-        lml = float(agp.approx_lml(agp.NearestNeighbors(k), f(x, 0.0), y))
+        lml = float(
+            jax.jit(lambda y, k=k: agp.approx_lml(agp.NearestNeighbors(k), f(x, 0.0), y))(y)
+        )
         oracle = npgp.vecchia_lml(a["X"], a["y"], a["variance"], a["lengthscale"], k)
         np.testing.assert_allclose(lml, oracle, rtol=1e-8)
-    lml4 = float(agp.approx_lml(agp.NearestNeighbors(4), f(x, 0.0), y))
+    lml4 = float(
+        jax.jit(lambda y: agp.approx_lml(agp.NearestNeighbors(4), f(x, 0.0), y))(y)
+    )
     np.testing.assert_allclose(lml4, 16.8404204562678, rtol=1e-9)

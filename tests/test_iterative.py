@@ -43,8 +43,8 @@ def test_kernel_matvec_chunked_matches_dense(key):
     dense = (np.asarray(fx.cov())) @ np.asarray(V)
     mv_full = kernel_matvec(f.kernel, x, fx.noise)
     mv_blocked = kernel_matvec(f.kernel, x, fx.noise, block_size=7)
-    np.testing.assert_allclose(mv_full(V), dense, atol=1e-10)
-    np.testing.assert_allclose(mv_blocked(V), dense, atol=1e-10)
+    np.testing.assert_allclose(jax.jit(mv_full)(V), dense, atol=1e-10)
+    np.testing.assert_allclose(jax.jit(mv_blocked)(V), dense, atol=1e-10)
 
 
 def test_cg_posterior_matches_cholesky(key):
@@ -249,9 +249,10 @@ def test_sample_posterior_msqrt_moment_matching():
     y = fx.sample(key)
     xs = jnp.linspace(-0.5, 4.5, 11)
 
-    S = sample_posterior_msqrt(jax.random.fold_in(key, 1), fx, y, xs,
-                               num_samples=6000, lanczos_iters=48,
-                               tol=1e-10)
+    S = jax.jit(
+        lambda k: sample_posterior_msqrt(k, fx, y, xs, num_samples=6000,
+                                         lanczos_iters=48, tol=1e-10)
+    )(jax.random.fold_in(key, 1))
     post = exact_posterior(fx, y)
     mu, cov = post.mean_and_cov(xs)
     emp_mu = S.mean(axis=0)
@@ -291,9 +292,11 @@ def test_slq_logdet_high_condition_envelope():
 
     def slq_logdet(reorth):
         # logpdf = -0.5(yᵀK⁻¹y + logdet + N log 2π); y = 0 isolates logdet
-        lp = agp.logpdf_slq(fx32, y32, jax.random.PRNGKey(3),
-                            num_probes=32, lanczos_iters=64, cg_tol=1e-6,
-                            cg_maxiter=2000, reorth=reorth)
+        lp = jax.jit(
+            lambda k: agp.logpdf_slq(fx32, y32, k, num_probes=32,
+                                     lanczos_iters=64, cg_tol=1e-6,
+                                     cg_maxiter=2000, reorth=reorth)
+        )(jax.random.PRNGKey(3))
         return float(-2.0 * lp - N * np.log(2 * np.pi))
 
     for reorth in (False, True):

@@ -39,7 +39,7 @@ def test_approx_lml_gradients_match_fd():
         return -agp.approx_lml(agp.LaplaceApproximation(tol=1e-12), lf(X), Y)
 
     obj = jax.jit(objective)
-    ad = jax.grad(objective)(theta0)
+    ad = jax.jit(jax.grad(objective))(theta0)
     for i in range(2):
         fd = _fd5(obj, theta0, i)
         np.testing.assert_allclose(float(ad[i]), fd, rtol=1e-6)
@@ -257,16 +257,22 @@ def test_laplace_other_likelihoods(lik, ygen, key):
         return -agp.approx_lml(agp.LaplaceApproximation(tol=1e-12), lf(x), y)
 
     theta0 = jnp.array([1.0, 1.0])
-    val = objective(theta0)
+    obj = jax.jit(objective)  # ONE wrapper reused by value, grad and FD
+    val = obj(theta0)
     assert np.isfinite(float(val))
-    g = jax.grad(objective)(theta0)
+    g = jax.jit(jax.grad(objective))(theta0)
     for i in range(2):
-        fd = _fd5(jax.jit(objective), theta0, i)
+        fd = _fd5(obj, theta0, i)
         np.testing.assert_allclose(float(g[i]), fd, rtol=1e-5, atol=1e-10)
 
     lf = agp.LatentGP(agp.GP(agp.SqExponentialKernel()), lik, 1e-8)
-    post = agp.posterior(agp.LaplaceApproximation(), lf(x), y)
-    mu, var = post.mean_and_var(x)
+
+    @jax.jit
+    def predict(y):
+        post = agp.posterior(agp.LaplaceApproximation(), lf(x), y)
+        return post.mean_and_var(x)
+
+    mu, var = predict(y)
     assert np.isfinite(np.asarray(mu)).all() and (np.asarray(var) > 0).all()
 
 
@@ -404,12 +410,16 @@ def test_newton_multistart_picks_better_mode():
         agp.StudentTLikelihood(1.0, 0.1), mode="fisher"
     )
     starts = jnp.stack([jnp.zeros(1), y])
-    f_best, lmls = L.newton_multistart(lik, y, K, starts, maxiter=500)
+    f_best, lmls = jax.jit(
+        lambda y, K: L.newton_multistart(lik, y, K, starts, maxiter=500)
+    )(y, K)
     lmls = np.asarray(lmls)
     assert np.all(np.isfinite(lmls))
     # the two starts genuinely find different modes
     assert abs(lmls[0] - lmls[1]) > 1e-3
-    best_lml = float(L.laplace_lml(lik, y, K, f_opt=f_best))
+    best_lml = float(
+        jax.jit(lambda y, K, fb: L.laplace_lml(lik, y, K, f_opt=fb))(y, K, f_best)
+    )
     np.testing.assert_allclose(best_lml, lmls.max(), rtol=1e-10)
 
 

@@ -159,11 +159,17 @@ def test_cg_operator_includes_latent_jitter():
     lf = agp.LatentGP(lf.f, lf.lik, 1e-2)  # jitter far above f64 noise
     lfx = lf(X)
 
-    post_dense = agp.posterior(agp.LaplaceApproximation(tol=1e-12), lfx, Y)
-    post_cg = agp.posterior(LaplaceCG(tol=1e-12, cg_tol=1e-12), lfx, Y)
     xs = jnp.linspace(0.0, 20.0, 17)
-    mu_d, var_d = post_dense.mean_and_var(xs)
-    mu_c, var_c = post_cg.mean_and_var(xs)
+    mu_d, var_d = jax.jit(
+        lambda Y: agp.posterior(
+            agp.LaplaceApproximation(tol=1e-12), lfx, Y
+        ).mean_and_var(xs)
+    )(Y)
+    mu_c, var_c = jax.jit(
+        lambda Y: agp.posterior(
+            LaplaceCG(tol=1e-12, cg_tol=1e-12), lfx, Y
+        ).mean_and_var(xs)
+    )(Y)
     np.testing.assert_allclose(mu_c, mu_d, atol=1e-8)
     np.testing.assert_allclose(var_c, var_d, atol=1e-8)
 

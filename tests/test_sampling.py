@@ -45,7 +45,7 @@ def test_pathwise_samples_match_posterior_moments(key):
 
     fs = sample_svgp_functions(k2, post, num_samples=4000, num_features=4096)
     xt = jnp.linspace(-0.5, 4.5, 15)
-    samples = fs(xt)  # (S, 15)
+    samples = jax.jit(fs)(xt)  # (S, 15)
 
     mu, var = post.mean_and_var(xt)
     emp_mu = samples.mean(axis=0)
@@ -70,7 +70,7 @@ def test_pathwise_noncentered_matches_centered(key):
 
     fs = sample_svgp_functions(k2, post_n, num_samples=4000, num_features=4096)
     xt = jnp.linspace(0, 3, 7)
-    samples = fs(xt)
+    samples = jax.jit(fs)(xt)
     mu, var = post_n.mean_and_var(xt)
     np.testing.assert_allclose(samples.mean(axis=0), np.asarray(mu), atol=0.1)
     np.testing.assert_allclose(samples.var(axis=0), np.asarray(var), atol=0.1)
@@ -95,7 +95,7 @@ def test_cg_pathwise_samples_match_exact_posterior(key):
         block_size=8, precond_rank=6,
     )
     xt = jnp.linspace(-0.5, 4.5, 13)
-    samples = fs(xt)
+    samples = jax.jit(fs)(xt)
     mu, var = exact.mean_and_var(xt)
     np.testing.assert_allclose(samples.mean(axis=0), np.asarray(mu), atol=0.1)
     np.testing.assert_allclose(samples.var(axis=0), np.asarray(var), atol=0.1)

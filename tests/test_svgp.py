@@ -313,8 +313,8 @@ def test_streaming_elbo_matches_dense(elbo_setup):
         sva, _ = build(params)
         return streaming_elbo(sva, lik, x, y, block_size=5, num_data=40)
 
-    v1, g1 = jax.value_and_grad(dense)(params)
-    v2, g2 = jax.value_and_grad(stream)(params)
+    v1, g1 = jax.jit(jax.value_and_grad(dense))(params)
+    v2, g2 = jax.jit(jax.value_and_grad(stream))(params)
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-9)
     for k in g1:
         np.testing.assert_allclose(g2[k], g1[k], rtol=1e-6, atol=1e-10)
@@ -391,11 +391,17 @@ def test_solve_modes_agree(elbo_setup):
         }
 
         def run():
-            post = agp.posterior(sva)
-            mu, var = post.mean_and_var(x)
-            e = agp.elbo(sva, fx, y)
-            g = jax.grad(loss)(params)
-            return mu, var, e, g["k"], g["z"], g["m"], g["L"]
+            # fresh jit wrappers per config context: solve_mode is read at
+            # trace time, so each context compiles (and caches) its own graph
+            def all_outputs(params, y):
+                sva_ = agp.SparseVariationalApproximation(sva.fz, sva.q, par)
+                post = agp.posterior(sva_)
+                mu, var = post.mean_and_var(x)
+                e = agp.elbo(sva_, fx, y)
+                g = jax.grad(loss)(params)
+                return mu, var, e, g["k"], g["z"], g["m"], g["L"]
+
+            return jax.jit(all_outputs)(params, y)
 
         with config_context(solve_mode="triangular"):
             ref = run()
@@ -496,8 +502,8 @@ def test_streaming_elbo_uneven_block(elbo_setup):
         sva, _ = build(params)
         return streaming_elbo(sva, lik, x, y, block_size=7, num_data=40)
 
-    v1, g1 = jax.value_and_grad(dense)(params)
-    v2, g2 = jax.value_and_grad(stream)(params)
+    v1, g1 = jax.jit(jax.value_and_grad(dense))(params)
+    v2, g2 = jax.jit(jax.value_and_grad(stream))(params)
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-9)
     for k in g1:
         np.testing.assert_allclose(g2[k], g1[k], rtol=1e-6, atol=1e-10)
@@ -525,17 +531,17 @@ def test_bf16_compute_dtype_accuracy(elbo_setup):
         return agp.elbo(sva, f(x32.astype(dtype), 0.1), y32.astype(dtype))
 
     with config_context(solve_mode="inv_matmul", compute_dtype="float32"):
-        e32 = float(loss())
+        e32 = float(jax.jit(loss)())
     with config_context(solve_mode="inv_matmul", compute_dtype="bfloat16"):
-        ebf = float(loss())
+        ebf = float(jax.jit(loss)())
         # relative gate: bf16 storage of the projection intermediates
         assert abs(ebf - e32) / abs(e32) < 2e-2, (ebf, e32)
-        g = jax.grad(lambda m: agp.elbo(
+        g = jax.jit(jax.grad(lambda m: agp.elbo(
             agp.SparseVariationalApproximation(
                 build(jnp.float32)[0].fz,
                 agp.MultivariateNormal(m, jnp.eye(M, dtype=jnp.float32)),
             ),
-            build(jnp.float32)[1](x32, 0.1), y32))(jnp.zeros(M, jnp.float32))
+            build(jnp.float32)[1](x32, 0.1), y32)))(jnp.zeros(M, jnp.float32))
         assert bool(jnp.isfinite(g).all())
     # f64 inputs are never downcast even with the flag on
     with config_context(solve_mode="inv_matmul", compute_dtype="bfloat16"):

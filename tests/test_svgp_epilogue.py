@@ -90,8 +90,8 @@ def test_symbolic_zero_cotangents():
         return jnp.sum(naive(Xs, Zs, Se, ae)[1])
 
     for f, g in [(mu_only, mu_only_naive), (var_only, var_only_naive)]:
-        ga = jax.grad(f, argnums=(0, 1, 2, 3))(Xs, Zs, Se, ae)
-        gb = jax.grad(g, argnums=(0, 1, 2, 3))(Xs, Zs, Se, ae)
+        ga = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))(Xs, Zs, Se, ae)
+        gb = jax.jit(jax.grad(g, argnums=(0, 1, 2, 3)))(Xs, Zs, Se, ae)
         for a, b in zip(ga, gb):
             np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
 
@@ -145,8 +145,8 @@ def test_elbo_fused_gradients_equal_xla(key):
         "m": sva.q.mean,
         "A": sva.q.scale_tril,
     }
-    g_xla = jax.grad(loss)(params, "xla")
-    g_pal = jax.grad(loss)(params, "pallas")
+    g_xla = jax.jit(jax.grad(loss), static_argnums=1)(params, "xla")
+    g_pal = jax.jit(jax.grad(loss), static_argnums=1)(params, "pallas")
     for k in g_xla:
         # tolerance: different tiling/summation order than the XLA path
         # (observed ~1e-7 abs on O(1e3) gradients in f64)
