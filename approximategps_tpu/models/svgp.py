@@ -475,6 +475,19 @@ def _epilogue_ready(prior, S_corr, prefer=False):
                                            jnp.dtype(jnp.bfloat16))
     ):
         return None
+    from ..ops.svgp_epilogue import epilogue_supported
+
+    M = S_corr.shape[-1]
+    if not epilogue_supported(M, 1 << 30, S_corr.dtype):
+        # the (M, block_b) VMEM working set exceeds Mosaic's scoped limit
+        # (measured: M=8192 wants ~29 MB of the 16 MB budget)
+        if mode == "pallas":
+            raise ValueError(
+                f"data_term_mode='pallas' requested but the fused epilogue's "
+                f"VMEM working set does not fit at M={M} (scoped limit "
+                f"16 MB); use 'auto'/'xla' or fewer inducing points"
+            )
+        return None
     from ..core.kernels import unwrap_stationary
 
     return unwrap_stationary(prior.kernel)

@@ -164,6 +164,33 @@ def _store_dtype(dtype, interpret):
     return dtype
 
 
+def epilogue_supported(
+    M: int, B: int, dtype, block_b: int = 1024, block_m: int = 256
+) -> bool:
+    """Static VMEM-feasibility test for the fused kernels.
+
+    The forward's working set is dominated by the (Mp, block_b) K scratch
+    plus the (block_m, Mp) Se row-block (both in the storage dtype) and a
+    few f32 (block_m, block_b) tiles; the backward is the same scale plus
+    the Se_bar partial.  Mosaic's per-kernel scoped-VMEM limit is 16 MB —
+    at M = 8192 the forward wants ~29 MB and compilation fails, so the
+    dispatcher must decline statically (measured r3; an M-tiled redesign
+    with accumulator spilling would be needed to go bigger)."""
+    if _interpret():
+        return True  # CPU emulation has no scoped-VMEM limit
+    block_b = min(block_b, _round_up(B, 128))
+    block_m = min(block_m, _round_up(M, 8))
+    Mp = _round_up(M, block_m)
+    store = jnp.dtype(_store_dtype(jnp.dtype(dtype), False)).itemsize
+    est = (
+        Mp * block_b * store          # K scratch
+        + block_m * Mp * store        # Se row-block
+        + 4 * block_m * block_b * 4   # k/T/r2/W f32 tiles
+        + block_m * Mp * 4            # bwd: Se_bar partial (f32)
+    )
+    return est <= 14 * 1024 * 1024
+
+
 def _interpret():
     return config.pallas_interpret or jax.default_backend() != "tpu"
 

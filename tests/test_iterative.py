@@ -128,11 +128,13 @@ def test_posterior_cg_preconditioned_matches_dense(key):
     f = agp.GP(1.3 * agp.with_lengthscale(agp.Matern52Kernel(), 0.9))
     fx = f(x, 0.01)
     y = jnp.sin(x) + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (150,))
-    dense = agp.posterior(fx, y)
-    cg = posterior_cg(fx, y, tol=1e-10, precond_rank=20)
     xs = jnp.linspace(0, 8, 25)
-    np.testing.assert_allclose(cg.mean(xs), dense.mean(xs), atol=1e-6)
-    np.testing.assert_allclose(cg.var(xs), dense.var(xs), atol=1e-6)
+    mu_d, var_d = jax.jit(lambda y: agp.posterior(fx, y).mean_and_var(xs))(y)
+    mu_c, var_c = jax.jit(
+        lambda y: posterior_cg(fx, y, tol=1e-10, precond_rank=20).mean_and_var(xs)
+    )(y)
+    np.testing.assert_allclose(mu_c, mu_d, atol=1e-6)
+    np.testing.assert_allclose(var_c, var_d, atol=1e-6)
 
 
 def test_logpdf_slq_gradients_match_dense():
@@ -280,11 +282,27 @@ def test_slq_logdet_high_condition_envelope():
     x64 = jnp.sort(jax.random.uniform(key, (N,), dtype=jnp.float64) * 3.0)
     noise = 1e-3
     kern = 1.0 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.5)
-    K64 = kern.gram(x64[:, None]) + noise * jnp.eye(N)
-    evals = jnp.linalg.eigvalsh(K64)
-    cond = float(evals[-1] / evals[0])
+    K64 = jax.jit(lambda x: kern.gram(x[:, None]) + noise * jnp.eye(N))(x64)
+    # Cholesky logdet + power/inverse iteration for the extreme eigenvalues:
+    # a full eigvalsh(4096) costs ~15 s of the suite on this 1-CPU box for
+    # the same two numbers
+    Kn = np.asarray(K64, dtype=np.float64)
+    C = np.linalg.cholesky(Kn)
+    logdet_true = float(2.0 * np.sum(np.log(np.diag(C))))
+    rng = np.random.RandomState(0)
+    v = rng.randn(N)
+    for _ in range(30):
+        v = Kn @ v
+        v /= np.linalg.norm(v)
+    lmax = float(v @ (Kn @ v))
+    w = rng.randn(N)
+    import scipy.linalg as sla
+    for _ in range(30):
+        w = sla.cho_solve((C, True), w)
+        w /= np.linalg.norm(w)
+    lmin = float(w @ (Kn @ w))
+    cond = lmax / lmin
     assert cond > 1e6, cond
-    logdet_true = float(jnp.sum(jnp.log(evals)))
 
     x32 = x64.astype(jnp.float32)
     fx32 = agp.GP(kern)(x32, jnp.float32(noise))
@@ -292,8 +310,10 @@ def test_slq_logdet_high_condition_envelope():
 
     def slq_logdet(reorth):
         # logpdf = -0.5(yᵀK⁻¹y + logdet + N log 2π); y = 0 isolates logdet
+        # 16 probes: measured errors 0.1% / 0.7% at 32 probes vs the 2%
+        # gate -- estimator noise scales 1/sqrt(P), margin stays >2x
         lp = jax.jit(
-            lambda k: agp.logpdf_slq(fx32, y32, k, num_probes=32,
+            lambda k: agp.logpdf_slq(fx32, y32, k, num_probes=16,
                                      lanczos_iters=64, cg_tol=1e-6,
                                      cg_maxiter=2000, reorth=reorth)
         )(jax.random.PRNGKey(3))

@@ -66,8 +66,8 @@ def test_newton_chain_rule_through_psd_wrapper(key):
         return f
 
     ct = jax.random.normal(jax.random.PRNGKey(1), (3,))
-    g_c = jax.vjp(from_L_custom, Lmat)[1](ct)[0]
-    g_u = jax.vjp(from_L_unrolled, Lmat)[1](ct)[0]
+    g_c = jax.jit(lambda Lm, ct: jax.vjp(from_L_custom, Lm)[1](ct)[0])(Lmat, ct)
+    g_u = jax.jit(lambda Lm, ct: jax.vjp(from_L_unrolled, Lm)[1](ct)[0])(Lmat, ct)
     np.testing.assert_allclose(g_c, g_u, rtol=1e-8, atol=1e-12)
 
     # forward values agree too
@@ -394,8 +394,8 @@ def test_gauss_newton_inactive_equals_plain_newton():
         return L.laplace_lml(lik if wrap else lfx.lik, ys, K, tol=1e-12)
 
     theta = jnp.array([1.3, 0.2])
-    v1, g1 = jax.value_and_grad(lml)(theta, False)
-    v2, g2 = jax.value_and_grad(lml)(theta, True)
+    v1, g1 = jax.jit(jax.value_and_grad(lml), static_argnums=1)(theta, False)
+    v2, g2 = jax.jit(jax.value_and_grad(lml), static_argnums=1)(theta, True)
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-9)
 

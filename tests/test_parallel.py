@@ -78,7 +78,7 @@ def test_dp_gradients_match_single_device():
         fxb = sva.fz.f(xb, 0.1)
         return -agp.elbo(sva, fxb, yb, num_data=N)
 
-    g_single = jax.grad(loss)(params, x, y)
+    g_single = jax.jit(jax.grad(loss))(params, x, y)
 
     batch_sh = shard_batch(mesh)
     rep = replicated(mesh)
@@ -119,7 +119,7 @@ def test_vecchia_construction_shards_over_points():
 
     x = jnp.linspace(0, 20, 64)
     kern = agp.Matern32Kernel()
-    U_ref = approx_root_prec_band(x, 4, kern)
+    U_ref = jax.jit(lambda x: approx_root_prec_band(x, 4, kern))(x)
 
     mesh = data_mesh()
     fn = jax.jit(

@@ -43,9 +43,9 @@ def test_pathwise_samples_match_posterior_moments(key):
     sva = agp.SparseVariationalApproximation(fz, q, agp.Centered())
     post = agp.posterior(sva)
 
-    fs = sample_svgp_functions(k2, post, num_samples=4000, num_features=4096)
+    fs = sample_svgp_functions(k2, post, num_samples=2000, num_features=2048)
     xt = jnp.linspace(-0.5, 4.5, 15)
-    samples = jax.jit(fs)(xt)  # (S, 15)
+    samples = fs(xt)  # (S, 15)
 
     mu, var = post.mean_and_var(xt)
     emp_mu = samples.mean(axis=0)
@@ -68,9 +68,9 @@ def test_pathwise_noncentered_matches_centered(key):
     sva_n = agp.SparseVariationalApproximation(fz, q_n, agp.NonCentered())
     post_n = agp.posterior(sva_n)
 
-    fs = sample_svgp_functions(k2, post_n, num_samples=4000, num_features=4096)
+    fs = sample_svgp_functions(k2, post_n, num_samples=2000, num_features=2048)
     xt = jnp.linspace(0, 3, 7)
-    samples = jax.jit(fs)(xt)
+    samples = fs(xt)
     mu, var = post_n.mean_and_var(xt)
     np.testing.assert_allclose(samples.mean(axis=0), np.asarray(mu), atol=0.1)
     np.testing.assert_allclose(samples.var(axis=0), np.asarray(var), atol=0.1)
@@ -91,11 +91,11 @@ def test_cg_pathwise_samples_match_exact_posterior(key):
     exact = agp.posterior(fx, y)
 
     fs = sample_posterior_functions_cg(
-        k2, fx, y, num_samples=4000, num_features=4096, tol=1e-10,
+        k2, fx, y, num_samples=2000, num_features=2048, tol=1e-10,
         block_size=8, precond_rank=6,
     )
     xt = jnp.linspace(-0.5, 4.5, 13)
-    samples = jax.jit(fs)(xt)
+    samples = fs(xt)
     mu, var = exact.mean_and_var(xt)
     np.testing.assert_allclose(samples.mean(axis=0), np.asarray(mu), atol=0.1)
     np.testing.assert_allclose(samples.var(axis=0), np.asarray(var), atol=0.1)

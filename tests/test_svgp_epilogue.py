@@ -185,3 +185,27 @@ def test_non_stationary_kernel_falls_back(key):
     with config_context(solve_mode="inv_matmul", data_term_mode="xla"):
         e2 = agp.elbo(sva, f(x, 0.1), y)
     np.testing.assert_allclose(e1, e2, rtol=1e-12)
+
+
+def test_epilogue_vmem_gate(monkeypatch):
+    """The fused epilogue declines statically when its VMEM working set
+    cannot fit (M=8192 measured at ~29 MB vs the 16 MB Mosaic scoped
+    limit): auto mode falls back to XLA, forced 'pallas' raises a clear
+    error instead of a Mosaic compile failure."""
+    from approximategps_tpu.config import config_context
+    from approximategps_tpu.models.svgp import _epilogue_ready
+    from approximategps_tpu.ops import svgp_epilogue as ep
+
+    monkeypatch.setattr(ep, "_interpret", lambda: False)  # hardware rules
+    with config_context(matmul_precision="default"):  # TPU production: bf16 store
+        assert ep.epilogue_supported(2048, 8192, jnp.float32)
+        assert not ep.epilogue_supported(4096, 8192, jnp.float32)
+        assert not ep.epilogue_supported(8192, 8192, jnp.float32)
+
+    prior = agp.GP(agp.SqExponentialKernel())
+    big = jax.ShapeDtypeStruct((8192, 8192), jnp.float32)  # stands in for S_corr
+    with config_context(data_term_mode="pallas"):
+        with pytest.raises(ValueError, match="VMEM"):
+            _epilogue_ready(prior, big)
+    with config_context(data_term_mode="auto"):
+        assert _epilogue_ready(prior, big, prefer=True) is None
