@@ -525,6 +525,12 @@ def _chol_inv_split(A, base):
 def _chol_with_inv_impl(A, base):
     A = symmetrize(A)
     panel = _panel_chol_eligible(A)
+    # Measured dead end (r3): preferring a 2×2 split with 1024-leaves at
+    # M=2048 wins in ISOLATION (0.47 vs 0.65 ms) but ZERO in the step (the
+    # factorization hides under HBM-bound neighbors), and the deeper
+    # recursion it induces at M=8192 (leaves 2048 → 1024) REGRESSES the
+    # stretch step 111.8 → 131.8 ms (extra HIGH-glue levels).  Direct
+    # kernel stays preferred whenever eligible.
     if panel is not None:
         # fused streamed-panel Pallas kernel: one pass produces BOTH L and
         # L⁻¹ (measured v5e M=2048 f32: 0.61 ms vs 1.12 ms for XLA chol +
