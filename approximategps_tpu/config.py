@@ -79,6 +79,12 @@ class _Config:
     #               traffic of the step's biggest tensors; master params,
     #               factorizations, KL and all reductions stay f32.
     compute_dtype: str = os.environ.get("AGP_COMPUTE_DTYPE", "float32")
+    # Fused data-term epilogue tile sizes (ops/svgp_epilogue.py).  Tuned on
+    # v5e (see scripts/tune_epilogue.py for the per-generation sweep); the
+    # VMEM working set scales with both, so epilogue_supported() gates on
+    # the chosen values.
+    epilogue_block_b: int = int(os.environ.get("AGP_EPILOGUE_BLOCK_B", "1024"))
+    epilogue_block_m: int = int(os.environ.get("AGP_EPILOGUE_BLOCK_M", "256"))
     # Largest M for which the posterior build forms the S-correction matrix
     # S = Lk⁻ᵀ(BBᵀ−I)Lk⁻¹ (and with it the fused whitened-cache composite
     # and the Pallas data-term epilogue).  S_corr trades a one-time

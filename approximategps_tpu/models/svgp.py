@@ -478,7 +478,10 @@ def _epilogue_ready(prior, S_corr, prefer=False):
     from ..ops.svgp_epilogue import epilogue_supported
 
     M = S_corr.shape[-1]
-    if not epilogue_supported(M, 1 << 30, S_corr.dtype):
+    if not epilogue_supported(
+        M, 1 << 30, S_corr.dtype,
+        block_b=config.epilogue_block_b, block_m=config.epilogue_block_m,
+    ):
         # the (M, block_b) VMEM working set exceeds Mosaic's scoped limit
         # (measured: M=8192 wants ~29 MB of the 16 MB budget)
         if mode == "pallas":
@@ -527,7 +530,10 @@ def _epilogue_mu_var(prior, z, x, alpha, S_corr, prefer=False):
         v = jnp.asarray(variance, S_corr.dtype)
         Se = S_corr * (v * v)
         ae = alpha * v
-    mu_corr, var_corr = svgp_data_epilogue(Xs, Zs, Se, ae, k_of_r2)
+    mu_corr, var_corr = svgp_data_epilogue(
+        Xs, Zs, Se, ae, k_of_r2,
+        block_b=config.epilogue_block_b, block_m=config.epilogue_block_m,
+    )
     mu = prior.mean(x) + mu_corr
     var = prior.var(x) + var_corr
     return mu, var
