@@ -79,6 +79,11 @@ class _Config:
     #               traffic of the step's biggest tensors; master params,
     #               factorizations, KL and all reductions stay f32.
     compute_dtype: str = os.environ.get("AGP_COMPUTE_DTYPE", "float32")
+    # Smallest M at which the chol/inv pullback switches its Φ-sandwich to
+    # triangular-aware narrowing block matmuls (core/linalg.py
+    # matmul_left_upper & co — skip ~44% of the flops at nb=8).  At small M
+    # the extra launches/concats wash the saving out.
+    tri_matmul_min_m: int = int(os.environ.get("AGP_TRI_MATMUL_MIN_M", "4096"))
     # Fused data-term epilogue tile sizes (ops/svgp_epilogue.py).  Tuned on
     # v5e (see scripts/tune_epilogue.py for the per-generation sweep); the
     # VMEM working set scales with both, so epilogue_supported() gates on

@@ -299,6 +299,72 @@ def _phi(X: jax.Array) -> jax.Array:
     return jnp.tril(X) - 0.5 * jnp.tril(jnp.triu(X))
 
 
+# -- triangular-aware matmuls ------------------------------------------------
+# XLA's dot kernels cannot exploit a triangular factor; partitioning the
+# triangular side into column (row) blocks turns C = A·L into narrowing
+# dense matmuls that SKIP the structurally-zero half: flop factor
+# (nb+1)/(2nb) → 0.56 at nb = 8.  Used by the chol/inv pullbacks at large M
+# where the Φ-sandwich matmuls are the MXU-bound slice of the step (the
+# M=8192 stretch bench).  Exact same math as the dense product — only the
+# block-summation order differs (f32 noise class ~1e-7 relative).
+
+
+def _tri_blocks(M: int, target: int = 1024) -> int:
+    """Largest block count ≤ M/target that divides M (power-of-two probe);
+    1 disables the blocking (dense fallback)."""
+    nb = 1
+    while (
+        M % (2 * nb) == 0 and M // (2 * nb) >= target and 2 * nb <= 16
+    ):
+        nb *= 2
+    return nb
+
+
+def matmul_right_lower(A, L, precision, nb=None):
+    """A @ L with L lower-triangular, skipping L's zero upper half."""
+    M = L.shape[-1]
+    nb = _tri_blocks(M) if nb is None else nb
+    if nb == 1:
+        return jnp.matmul(A, L, precision=precision)
+    b = M // nb
+    cols = [
+        jnp.matmul(A[..., :, j * b:], L[j * b:, j * b:(j + 1) * b],
+                   precision=precision)
+        for j in range(nb)
+    ]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def matmul_right_upper(A, U, precision, nb=None):
+    """A @ U with U upper-triangular, skipping U's zero lower half."""
+    M = U.shape[-1]
+    nb = _tri_blocks(M) if nb is None else nb
+    if nb == 1:
+        return jnp.matmul(A, U, precision=precision)
+    b = M // nb
+    cols = [
+        jnp.matmul(A[..., :, :(j + 1) * b], U[:(j + 1) * b, j * b:(j + 1) * b],
+                   precision=precision)
+        for j in range(nb)
+    ]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def matmul_left_upper(U, A, precision, nb=None):
+    """U @ A with U upper-triangular, skipping U's zero lower half."""
+    M = U.shape[-2]
+    nb = _tri_blocks(M) if nb is None else nb
+    if nb == 1:
+        return jnp.matmul(U, A, precision=precision)
+    b = M // nb
+    rows = [
+        jnp.matmul(U[i * b:(i + 1) * b, i * b:], A[i * b:, ...],
+                   precision=precision)
+        for i in range(nb)
+    ]
+    return jnp.concatenate(rows, axis=-2)
+
+
 def _chol_bwd_from_inv(L, Linv, L_bar):
     """Ā from L̄ using L⁻¹ (Murray 2016, eq. 8 rearranged):
     Ā = sym(L⁻ᵀ Φ(Lᵀ L̄) L⁻¹) — three matmuls, no triangular solves."""
@@ -328,17 +394,31 @@ def _inv_chol_bwd_fused(L, J, L_bar, Linv_bar):
     of a reference implementation (machine precision, f64).  Pass None
     for an absent cotangent."""
     prec = _bwd_precision()
+    M = L.shape[-1]
+    # triangular-aware blocking: every factor here is triangular (Lᵀ/Jᵀ
+    # upper, J lower, P = Φ(·) lower), so the narrowing block matmuls skip
+    # ~44% of the flops at nb=8.  Worth it only where the sandwich is the
+    # MXU-bound slice (large M); gated by config.tri_matmul_min_m.
+    from ..config import config
+
+    tri = L.ndim == 2 and M >= getattr(config, "tri_matmul_min_m", 4096)
     inner = None
     if L_bar is not None:
-        inner = jnp.matmul(jnp.swapaxes(L, -1, -2), jnp.tril(L_bar),
-                           precision=prec)
+        Lt = jnp.swapaxes(L, -1, -2)
+        tl = jnp.tril(L_bar)
+        inner = (matmul_left_upper(Lt, tl, prec) if tri
+                 else jnp.matmul(Lt, tl, precision=prec))
     if Linv_bar is not None:
-        t = jnp.matmul(Linv_bar, jnp.swapaxes(J, -1, -2), precision=prec)
+        Jt = jnp.swapaxes(J, -1, -2)
+        t = (matmul_right_upper(Linv_bar, Jt, prec) if tri
+             else jnp.matmul(Linv_bar, Jt, precision=prec))
         inner = -t if inner is None else inner - t
     if inner is None:
         return jnp.zeros_like(L)
     P = _phi(inner)
     JT = jnp.swapaxes(J, -1, -2)
+    if tri:
+        return symmetrize(matmul_left_upper(JT, matmul_right_lower(P, J, prec), prec))
     return symmetrize(
         jnp.matmul(JT, jnp.matmul(P, J, precision=prec), precision=prec)
     )

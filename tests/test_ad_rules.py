@@ -372,3 +372,46 @@ def test_logpdf_slq_grad_vs_dense():
     g_dense = jax.grad(lambda t: build(t).logpdf(ys))(theta)
     scale = float(jnp.max(jnp.abs(g_dense)))
     np.testing.assert_allclose(g_slq, g_dense, atol=0.05 * scale + 1e-3)
+
+
+def test_tri_matmul_pullback_matches_dense():
+    """The triangular-aware Φ-sandwich (narrowing block matmuls, engaged at
+    M ≥ tri_matmul_min_m) is the SAME math as the dense pullback — block
+    summation order only.  Forced on at small M via the config threshold and
+    compared against the dense path, plus the three helpers vs plain @."""
+    from approximategps_tpu.config import config_context
+    from approximategps_tpu.core import linalg
+
+    key = jax.random.PRNGKey(11)
+    M = 64
+    R = jax.random.normal(key, (M, M))
+    A = R @ R.T + M * jnp.eye(M)
+    L = jnp.linalg.cholesky(A)
+    J = jax.scipy.linalg.solve_triangular(L, jnp.eye(M), lower=True)
+    Lb = jax.random.normal(jax.random.fold_in(key, 1), (M, M))
+    Jb = jax.random.normal(jax.random.fold_in(key, 2), (M, M))
+
+    with config_context(tri_matmul_min_m=1 << 40):
+        dense = linalg._inv_chol_bwd_fused(L, J, Lb, Jb)
+    with config_context(tri_matmul_min_m=16):
+        tri = linalg._inv_chol_bwd_fused(L, J, Lb, Jb)
+        # each cotangent alone too (symbolic-zero branches)
+        tri_l = linalg._inv_chol_bwd_fused(L, J, Lb, None)
+        tri_j = linalg._inv_chol_bwd_fused(L, J, None, Jb)
+    with config_context(tri_matmul_min_m=1 << 40):
+        dense_l = linalg._inv_chol_bwd_fused(L, J, Lb, None)
+        dense_j = linalg._inv_chol_bwd_fused(L, J, None, Jb)
+    np.testing.assert_allclose(np.asarray(tri), np.asarray(dense), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(tri_l), np.asarray(dense_l), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(tri_j), np.asarray(dense_j), atol=1e-12)
+
+    X = jax.random.normal(jax.random.fold_in(key, 3), (M, M))
+    P = jnp.tril(jax.random.normal(jax.random.fold_in(key, 4), (M, M)))
+    nb = 4
+    hp = "highest"
+    np.testing.assert_allclose(
+        linalg.matmul_right_lower(X, P, hp, nb=nb), X @ P, atol=1e-12)
+    np.testing.assert_allclose(
+        linalg.matmul_right_upper(X, P.T, hp, nb=nb), X @ P.T, atol=1e-12)
+    np.testing.assert_allclose(
+        linalg.matmul_left_upper(P.T, X, hp, nb=nb), P.T @ X, atol=1e-12)
