@@ -64,6 +64,11 @@ class _Config:
     #   "pallas": force the Pallas kernel (interpret mode off-TPU)
     #   "xla":    always the XLA path
     chol_mode: str = os.environ.get("AGP_CHOL_MODE", "auto")
+    # Gram-fused posterior build: generate the Kuu panels INSIDE the
+    # streamed-panel (L, L⁻¹) kernel (ops/panel_chol.pallas_gram_chol_inv)
+    # instead of materializing Kuu in HBM first.  "auto" follows chol_mode's
+    # gates; "off" keeps the separate gram + factorization.
+    gram_chol: str = os.environ.get("AGP_GRAM_CHOL", "auto")
     # Glue-matmul precision for the 2×2 split (L, L⁻¹) recursion that takes
     # over beyond the Pallas panel kernel's VMEM budget (M ≥ 4096):
     # "highest" (6-pass, 1e-7-class factors), "high" (3-pass, 4e-6 — the

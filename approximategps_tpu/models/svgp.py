@@ -16,6 +16,7 @@ systolic array.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -356,6 +357,144 @@ _whitened_cache_fused.defvjp(
 )
 
 
+# -- gram-fused variant: Kuu never materialized in HBM ----------------------
+
+
+def _gram_chol_parts(fz, dtype):
+    """Static dispatch test for the gram-fused posterior build: the prior
+    kernel unwraps to ``σ²·g(r²(s·z))``, the jitter is isotropic, and the
+    fused gram→(L, L⁻¹) panel kernel supports (M, D, dtype).  Returns
+    ``((k_of_r2, scale, variance), z_points)`` or None.  Mirrors
+    ``linalg._pallas_chol_gates`` (chol_mode 'auto' engages only on real
+    TPU f32/bf16; 'pallas' forces interpret mode for the oracle suite)."""
+    if not config.use_pallas or getattr(config, "gram_chol", "auto") == "off":
+        return None
+    mode = getattr(config, "chol_mode", "auto")
+    if mode == "xla":
+        return None
+    if mode == "auto":
+        if jax.default_backend() != "tpu":
+            return None
+        if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                    jnp.dtype(jnp.bfloat16)):
+            return None
+    if jnp.ndim(fz.noise) != 0:
+        return None
+    from ..core.kernels import unwrap_stationary
+
+    parts = unwrap_stationary(fz.f.kernel)
+    if parts is None:
+        return None
+    from ..ops.panel_chol import gram_chol_inv_supported
+
+    zp = as_points(fz.x)
+    if not gram_chol_inv_supported(zp.shape[0], zp.shape[1], dtype, 128):
+        return None
+    return parts, zp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _whitened_cache_fused_gram(Zs, v2, jitter, Lq, m, k_of_r2):
+    """`_whitened_cache_fused` with the Kuu Gram GENERATED inside the
+    streamed-panel factorization kernel (``ops.panel_chol
+    .pallas_gram_chol_inv``): the separate gram build, its σ²/jitter
+    elementwise passes, and the M×M HBM write+read disappear from the
+    forward.  The backward pays one extra Gram recompute (exact broadcast
+    r², ``dk_from_k`` shortcut when the kernel map provides it) to chain
+    ``K̄uu → (Z̄s, σ̄², jitter̄)`` — the same recompute class the fused
+    data-term epilogue uses."""
+    from ..ops.panel_chol import pallas_gram_chol_inv
+
+    prec = resolve_matmul_precision(m.dtype)
+    Lk, J = pallas_gram_chol_inv(Zs, v2, jitter, k_of_r2)
+    alpha = J.T @ m
+    C0 = jnp.matmul(Lq, Lq.T, precision=prec) - jnp.eye(
+        Lq.shape[-1], dtype=Lq.dtype
+    )
+    S = jnp.matmul(J.T, jnp.matmul(C0, J, precision=prec), precision=prec)
+    return Lk, J, alpha, S
+
+
+def _whitened_cache_gram_fwd(Zs, v2, jitter, Lq, m, k_of_r2):
+    from ..ops.panel_chol import pallas_gram_chol_inv
+
+    prec = resolve_matmul_precision(m.value.dtype)
+    Lk, J = pallas_gram_chol_inv(Zs.value, v2.value, jitter.value, k_of_r2)
+    alpha = J.T @ m.value
+    C0 = jnp.matmul(Lq.value, Lq.value.T, precision=prec) - jnp.eye(
+        Lq.value.shape[-1], dtype=Lq.value.dtype
+    )
+    S = jnp.matmul(J.T, jnp.matmul(C0, J, precision=prec), precision=prec)
+    return (Lk, J, alpha, S), (
+        Lk, J, C0, Lq.value, m.value, Zs.value, v2.value
+    )
+
+
+def _whitened_cache_gram_bwd(k_of_r2, res, cts):
+    from jax.custom_derivatives import SymbolicZero
+
+    from ..core.linalg import _inv_chol_bwd_fused
+
+    Lk, J, C0, Lq, m, Zs, v2 = res
+    dLk, dJ, dalpha, dS = cts
+    prec = resolve_matmul_precision(Lq.dtype)
+
+    J_bar = None
+    Lq_bar = jnp.zeros_like(Lq)
+    m_bar = jnp.zeros_like(m)
+    if not isinstance(dS, SymbolicZero):
+        dSs = dS + dS.T
+        P = jnp.matmul(J, dSs, precision=prec)
+        Q = jnp.matmul(P, J.T, precision=prec)
+        Lq_bar = jnp.matmul(Q, Lq, precision=prec)
+        J_bar = jnp.matmul(C0, P, precision=prec)
+    if not isinstance(dalpha, SymbolicZero):
+        r1 = m[:, None] * dalpha[None, :]
+        J_bar = r1 if J_bar is None else J_bar + r1
+        m_bar = jnp.matmul(J, dalpha, precision=prec)
+    if not isinstance(dJ, SymbolicZero):
+        J_bar = dJ if J_bar is None else J_bar + dJ
+
+    Lk_bar = None if isinstance(dLk, SymbolicZero) else dLk
+    zero_scalar = jnp.zeros((), Zs.dtype)
+    if Lk_bar is None and J_bar is None:
+        return jnp.zeros_like(Zs), zero_scalar, zero_scalar, Lq_bar, m_bar
+    Kuu_bar = _inv_chol_bwd_fused(Lk, J, Lk_bar, J_bar)
+
+    # Gram pullback: K̄uu → (Z̄s, σ̄², jitter̄).  The r² recompute uses the
+    # MXU identity: the PSD policy (exact broadcast distances) applies to
+    # FACTORIZATION inputs — this r² only feeds the pullback weights W,
+    # where the identity's eps·max|z−c|² noise is ordinary gradient noise,
+    # and the broadcast form's (M, M, D) intermediate is real HBM traffic
+    # when XLA declines to fuse it inside the step graph (measured: the
+    # full headline step regressed 0.2 ms with the broadcast recompute).
+    # Symmetric-input rule: both the i- and j-slots carry Zs, so
+    # Z̄s = 2[(rowsum(Ws))∘Zs − Ws·Zs] with Ws = W + Wᵀ.
+    from ..core.kernels import dk_from_k_for, pairwise_sq_dist
+
+    r2 = pairwise_sq_dist(Zs, Zs, mode="mxu")
+    dk = dk_from_k_for(k_of_r2)
+    K0 = k_of_r2(r2)
+    if dk is not None:
+        gprime = dk(K0)
+    else:
+        _, pull = jax.vjp(k_of_r2, r2)
+        (gprime,) = pull(jnp.ones_like(r2))
+    W = Kuu_bar * (v2 * gprime)
+    Ws = W + W.T
+    Zs_bar = 2.0 * (
+        jnp.sum(Ws, axis=1)[:, None] * Zs - jnp.matmul(Ws, Zs, precision=prec)
+    )
+    v2_bar = jnp.sum(Kuu_bar * K0).astype(Zs.dtype)
+    jitter_bar = jnp.trace(Kuu_bar).astype(Zs.dtype)
+    return Zs_bar, v2_bar, jitter_bar, Lq_bar, m_bar
+
+
+_whitened_cache_fused_gram.defvjp(
+    _whitened_cache_gram_fwd, _whitened_cache_gram_bwd, symbolic_zeros=True
+)
+
+
 @posterior.register(SparseVariationalApproximation)
 def _posterior_svgp(
     sva: SparseVariationalApproximation, lfx=None, ys=None, **_
@@ -378,10 +517,23 @@ def _posterior_svgp(
         and use_s_corr
         and not isinstance(sva.parametrization, Centered)
     ):
-        # NonCentered hot path: fused composite with the minimal pullback
-        Kuu_L, Lk_inv, alpha, S_corr = _whitened_cache_fused(
-            fz.cov(), q.scale_tril, m
-        )
+        dt = jnp.result_type(m)
+        gparts = _gram_chol_parts(fz, dt)
+        if gparts is not None:
+            # NonCentered hottest path: the Kuu Gram is generated INSIDE the
+            # streamed-panel (L, L⁻¹) kernel — never written to HBM
+            (k_of_r2, scale, variance), zp = gparts
+            Zs = (zp if scale is None else zp * scale).astype(dt)
+            v2 = jnp.asarray(1.0 if variance is None else variance, dt)
+            jit_ = jnp.asarray(fz.noise, dt)
+            Kuu_L, Lk_inv, alpha, S_corr = _whitened_cache_fused_gram(
+                Zs, v2, jit_, q.scale_tril, m, k_of_r2
+            )
+        else:
+            # NonCentered hot path: fused composite, minimal pullback
+            Kuu_L, Lk_inv, alpha, S_corr = _whitened_cache_fused(
+                fz.cov(), q.scale_tril, m
+            )
         cache = _SVGPCache(
             Kuu_L=Kuu_L, B=q.scale_tril, alpha=alpha, Lk_inv=Lk_inv,
             S_corr=S_corr,

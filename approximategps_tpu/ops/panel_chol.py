@@ -55,7 +55,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import config
 
-__all__ = ["pallas_chol_inv", "chol_inv_supported"]
+__all__ = [
+    "pallas_chol_inv",
+    "chol_inv_supported",
+    "pallas_gram_chol_inv",
+    "gram_chol_inv_supported",
+]
 
 _NCH = 4  # static row/col chunks per streamed panel (skip above/right of diag)
 
@@ -100,9 +105,6 @@ def _chol_inv_kernel(a_ref, l_ref, j_ref, ldiag, cpan, buf, tacc, jbuf,
                      dblk, iblk, sems, lsem, jsem, *, P: int, M: int, K: int,
                      skip_diag: bool = False):
     k = pl.program_id(0)
-    acc = jnp.dtype(ldiag.dtype)
-    HIGH = lax.Precision.HIGHEST
-    R = M // _NCH  # row-chunk height (phase 1) == col-chunk width (phase 2)
 
     # ---- phase 0: row strip L[kP:kP+P, :] (cols ≥ kP unwritten → unread) --
     cp = pltpu.make_async_copy(l_ref.at[pl.ds(k * P, P), :], ldiag,
@@ -113,6 +115,81 @@ def _chol_inv_kernel(a_ref, l_ref, j_ref, ldiag, cpan, buf, tacc, jbuf,
     cpA.start()
     cp.wait()
     cpA.wait()
+
+    _chol_inv_rest(l_ref, j_ref, ldiag, cpan, buf, tacc, jbuf, dblk, iblk,
+                   sems, lsem, jsem, P=P, M=M, K=K, skip_diag=skip_diag)
+
+
+def _gram_panel(z_ref, sig_ref, jit_ref, cpan, k, *, k_of_r2, D, P, M, acc):
+    """cpan ← σ²·g(r²(Z, Z[kP:kP+P])) + jitter·I — the A column panel
+    computed in VMEM instead of DMA'd from HBM.
+
+    Distances are EXACT broadcast differences (the symmetric-Gram PSD
+    policy of ``core.kernels.StationaryKernel.gram``: the |x|²-identity
+    loses eps·max|x−c|² absolute accuracy, which breaks Cholesky PSD-ness
+    for data spans ≫ √jitter) accumulated per input dimension with
+    one-hot lane reductions — Mosaic cannot lane-slice at sub-128
+    granularity, and (a−b)² = (b−a)² bitwise with a fixed d-order keeps
+    the panel EXACTLY symmetric, which the diagonal-block factor's
+    read-row-as-column-transpose trick requires."""
+    zpan = z_ref[pl.ds(k * P, P), :]  # (P, Dp)
+    lane = lax.broadcasted_iota(jnp.int32, (1, zpan.shape[1]), 1)
+    sig2 = sig_ref[0, 0].astype(acc)
+    jit = jit_ref[0, 0].astype(acc)
+    # panel rows per dimension, extracted once (one-hot lane reductions)
+    zps = []
+    for d in range(D):
+        hot = (lane == d).astype(acc)
+        zps.append(jnp.sum(zpan.astype(acc) * hot, axis=1, keepdims=True).T)
+
+    # row-chunk loop mirrors phase 1's diagonal skip: chunks entirely above
+    # the diagonal are never read by the factorization (phase 1 skips them,
+    # `scaled` masks them) — ~38% less gram work at K/_NCH = 4
+    R = M // _NCH
+    for r in range(_NCH):
+        @pl.when((r + 1) * R > k * P)
+        def _(r=r):
+            zc = z_ref[pl.ds(r * R, R), :]  # (R, Dp)
+            r2 = jnp.zeros((R, P), acc)
+            for d in range(D):  # static real-D loop (pad lanes untouched)
+                hot = (lane == d).astype(acc)
+                zcd = jnp.sum(zc.astype(acc) * hot, axis=1, keepdims=True)
+                diff = zcd - zps[d]
+                r2 = r2 + diff * diff
+            g = k_of_r2(r2)
+            rowR = lax.broadcasted_iota(jnp.int32, (R, P), 0) + r * R
+            colP = lax.broadcasted_iota(jnp.int32, (R, P), 1)
+            kblk = sig2 * g + jnp.where(rowR == k * P + colP, jit, 0.0)
+            cpan[pl.ds(r * R, R), :] = kblk.astype(cpan.dtype)
+
+
+def _gram_chol_inv_kernel(z_ref, sig_ref, jit_ref, l_ref, j_ref, ldiag, cpan,
+                          buf, tacc, jbuf, dblk, iblk, sems, lsem, jsem, *,
+                          k_of_r2, D: int, P: int, M: int, K: int,
+                          skip_diag: bool = False):
+    """Fused gram→(L, L⁻¹): phase 0 COMPUTES the A panel from Z (overlapping
+    the L-row-strip DMA) — Kuu never exists in HBM."""
+    k = pl.program_id(0)
+    acc = jnp.dtype(ldiag.dtype)
+
+    cp = pltpu.make_async_copy(l_ref.at[pl.ds(k * P, P), :], ldiag,
+                               sems.at[0])
+    cp.start()
+    _gram_panel(z_ref, sig_ref, jit_ref, cpan, k,
+                k_of_r2=k_of_r2, D=D, P=P, M=M, acc=acc)
+    cp.wait()
+
+    _chol_inv_rest(l_ref, j_ref, ldiag, cpan, buf, tacc, jbuf, dblk, iblk,
+                   sems, lsem, jsem, P=P, M=M, K=K, skip_diag=skip_diag)
+
+
+def _chol_inv_rest(l_ref, j_ref, ldiag, cpan, buf, tacc, jbuf,
+                   dblk, iblk, sems, lsem, jsem, *, P: int, M: int, K: int,
+                   skip_diag: bool):
+    k = pl.program_id(0)
+    acc = jnp.dtype(ldiag.dtype)
+    HIGH = lax.Precision.HIGHEST
+    R = M // _NCH  # row-chunk height (phase 1) == col-chunk width (phase 2)
 
     # ---- phase 1: left-looking panel update (row-chunk-skipped stream, ----
     # 2-slot double buffering: panel j+1's chunks are in flight while panel
@@ -278,10 +355,10 @@ def pallas_chol_inv(A: jax.Array, panel: int = 128,
     L, J = pl.pallas_call(
         kernel,
         grid=(K,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((M, M), A.dtype),
@@ -304,4 +381,84 @@ def pallas_chol_inv(A: jax.Array, panel: int = 128,
         ),
         interpret=interpret,
     )(A)
+    return L, J
+
+
+def gram_chol_inv_supported(M: int, D: int, dtype, panel: int = 128) -> bool:
+    """Static dispatch test for the fused gram→(L, L⁻¹) kernel: the plain
+    kernel's constraints plus the (M, 128) Z block (double-buffered by the
+    Pallas pipeline) in the VMEM budget, and D within one lane register."""
+    if not chol_inv_supported(M, dtype, panel):
+        return False
+    if not 1 <= D <= 128:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    vmem = (
+        7 * M * panel * itemsize
+        + 3 * panel * panel * itemsize
+        + 2 * M * 128 * itemsize  # Z block, 2 pipeline slots
+    )
+    return vmem <= 12 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("k_of_r2", "panel", "interpret"))
+def pallas_gram_chol_inv(Zs: jax.Array, sig2, jitter, k_of_r2,
+                         panel: int = 128, interpret: bool | None = None):
+    """(L, J) = (chol(σ²·g(r²(Zs, Zs)) + jitter·I), L⁻¹) with the Gram
+    panels computed IN the factorization kernel — Kuu never hits HBM.
+
+    Replaces the gram kernel + σ²/jitter elementwise passes + the 16 MB
+    write/read round trip of ``chol(fz.cov())`` on the SVGP posterior-build
+    hot path (reference semantics: ``_chol_cov(fz)`` at
+    ``src/SparseVariationalApproximationModule.jl:160-187`` with
+    ``cov(fz) = kernelmatrix(kernel, z) + jitter·I``).
+
+    Zs: (M, D) inputs with any lengthscale scaling already applied;
+    ``k_of_r2`` a static parameter-free elementwise map; ``sig2``/``jitter``
+    traced scalars.  Requires ``gram_chol_inv_supported(M, D, dtype)``."""
+    M, D = Zs.shape
+    P = panel
+    K = M // P
+    if interpret is None:
+        interpret = config.pallas_interpret or jax.default_backend() != "tpu"
+    Dp = 128
+    Zp = jnp.zeros((M, Dp), Zs.dtype).at[:, :D].set(Zs)
+    sig2 = jnp.asarray(sig2, Zs.dtype).reshape(1, 1)
+    jitter = jnp.asarray(jitter, Zs.dtype).reshape(1, 1)
+
+    kernel = partial(_gram_chol_inv_kernel, k_of_r2=k_of_r2, D=D, P=P, M=M,
+                     K=K)
+    L, J = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((M, Dp), lambda k: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, M), Zs.dtype),
+            jax.ShapeDtypeStruct((M, M), Zs.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, M), Zs.dtype),  # ldiag: L row strip
+            pltpu.VMEM((M, P), Zs.dtype),  # cpan: working panel
+            pltpu.VMEM((2, M, P), Zs.dtype),  # buf: L stream, 2 slots
+            pltpu.VMEM((P, M), Zs.dtype),  # tacc: T accumulator / J row out
+            pltpu.VMEM((2, P, M), Zs.dtype),  # jbuf: J stream, 2 slots
+            pltpu.VMEM((P, P), Zs.dtype),  # dblk: diagonal factor
+            pltpu.VMEM((P, P), Zs.dtype),  # iblk: diagonal inverse
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, _NCH)),  # lsem
+            pltpu.SemaphoreType.DMA((2, _NCH)),  # jsem
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(Zp, sig2, jitter)
     return L, J

@@ -96,6 +96,28 @@ def test_whitened_cache_fused():
     )
 
 
+def test_whitened_cache_fused_gram():
+    """The gram-generating composite (`_whitened_cache_fused_gram`): the
+    Kuu Gram is built inside the panel kernel, so the pullback chains
+    K̄uu → (Z̄s, σ̄², jitter̄) through a Gram recompute — FD-check every
+    input (interpret-mode kernel on CPU, f64)."""
+    from approximategps_tpu.models.svgp import _whitened_cache_fused_gram
+
+    M = 256  # kernel needs M % panel == 0, M >= 2 panels (interpret mode)
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    Zs = 1.5 * _r(k1, M, 2)
+    A, m = _r(k2, M, M) * 0.02, _r(k3, M)
+    v2, jit = jnp.asarray(1.3), jnp.asarray(0.5)
+    with config_context(pallas_interpret=True, use_pallas=True):
+        check_grads(
+            lambda Zs, v2, jit, A, m: _whitened_cache_fused_gram(
+                Zs, v2, jit, _tril_pos(A), m,
+                SqExponentialKernel.k_of_r2,
+            ),
+            (Zs, v2, jit, A, m), **CHECK,
+        )
+
+
 # ---------------------------------------------------------------------------
 # Pallas ops (interpret mode on CPU)
 # ---------------------------------------------------------------------------

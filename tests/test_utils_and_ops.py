@@ -396,6 +396,32 @@ def test_panel_chol_inv_matches_xla():
         assert not np.any(np.triu(np.asarray(J), 1))
 
 
+def test_gram_panel_chol_matches_reference():
+    """Gram-fused panel kernel == chol/inv of the explicitly-built
+    σ²·g(r²)+jitter·I, f64 interpret mode (exact broadcast distances inside
+    the kernel — the symmetric-Gram PSD policy)."""
+    from approximategps_tpu.core.kernels import SqExponentialKernel
+    from approximategps_tpu.ops.panel_chol import pallas_gram_chol_inv
+
+    M, D = 384, 5
+    key = jax.random.PRNGKey(11)
+    Z = 1.3 * jax.random.normal(key, (M, D))
+    sig2, jit = 1.7, 1e-6
+    L, J = jax.jit(
+        lambda Z: pallas_gram_chol_inv(
+            Z, sig2, jit, SqExponentialKernel.k_of_r2, interpret=True
+        )
+    )(Z)
+    diff = Z[:, None, :] - Z[None, :, :]
+    K = sig2 * jnp.exp(-0.5 * jnp.sum(diff * diff, -1)) + jit * jnp.eye(M)
+    L0 = jnp.linalg.cholesky(K)
+    J0 = jax.scipy.linalg.solve_triangular(L0, jnp.eye(M), lower=True)
+    np.testing.assert_allclose(L, L0, atol=1e-10)
+    np.testing.assert_allclose(J, J0, atol=1e-7)  # amplified by cond(K)
+    assert not np.any(np.triu(np.asarray(L), 1))
+    assert not np.any(np.triu(np.asarray(J), 1))
+
+
 def test_chol_with_inv_pallas_route_values_and_gradients():
     """chol_mode="pallas" routes chol_with_inv through the panel kernel;
     values AND elbo-style gradients (via the matmul-only custom VJP, which
