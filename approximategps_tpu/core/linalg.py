@@ -34,6 +34,7 @@ __all__ = [
     "blocked_tril_inv",
     "blocked_cholesky",
     "chol_with_inv",
+    "tri_project",
 ]
 
 
@@ -363,6 +364,98 @@ def matmul_left_upper(U, A, precision, nb=None):
         for i in range(nb)
     ]
     return jnp.concatenate(rows, axis=-2)
+
+
+def matmul_left_lower(L, A, precision, nb=None):
+    """L @ A with L lower-triangular, skipping L's zero upper half."""
+    M = L.shape[-2]
+    nb = _tri_blocks(M) if nb is None else nb
+    if nb == 1:
+        return jnp.matmul(L, A, precision=precision)
+    b = M // nb
+    rows = [
+        jnp.matmul(L[i * b:(i + 1) * b, :(i + 1) * b], A[:(i + 1) * b, ...],
+                   precision=precision)
+        for i in range(nb)
+    ]
+    return jnp.concatenate(rows, axis=-2)
+
+
+def matmul_tril_out(A, B, precision, nb=None):
+    """tril(A @ B) for a square (M, M) product, computing ONLY the lower
+    block triangle: output row-block i contracts against B's first
+    (i+1)·b columns; strictly-upper blocks are emitted as zeros without
+    ever running on the MXU.  Same ~44% flop cut as the other
+    triangular-aware matmuls at nb=8; the diagonal block is masked
+    exactly."""
+    M = A.shape[-2]
+    nb = _tri_blocks(M) if nb is None else nb
+    if nb == 1:
+        return jnp.tril(jnp.matmul(A, B, precision=precision))
+    b = M // nb
+    rows = []
+    for i in range(nb):
+        blk = jnp.matmul(A[i * b:(i + 1) * b, :], B[..., :, :(i + 1) * b],
+                         precision=precision)
+        # global tril == local tril on the diagonal block
+        blk = blk.at[:, i * b:].set(jnp.tril(blk[:, i * b:]))
+        if (i + 1) * b < M:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((b, M - (i + 1) * b), blk.dtype)], axis=-1
+            )
+        rows.append(blk)
+    return jnp.concatenate(rows, axis=-2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def tri_project(T, X, transpose_t: bool = False):
+    """Y = T @ X (or Tᵀ @ X with ``transpose_t``) for a LOWER-triangular
+    (M, M) factor T and an (M, B) right operand — the SVGP projection
+    matmuls A = Lk⁻¹·Kuf and BᵀA (reference
+    ``SparseVariationalApproximationModule.jl:215-224``), with the
+    triangular structure exploited in BOTH directions:
+
+    - forward: narrowing block matmuls skip T's zero half (~44% of the
+      flops at nb=8),
+    - backward (hand VJP): the T cotangent is only ever consumed as a
+      lower-triangular factor (it chains into the (L, L⁻¹) Φ-sandwich or
+      the scale_tril projection), so ``T̄ = tril(Ȳ·Xᵀ)`` runs through
+      :func:`matmul_tril_out` — the strictly-upper blocks are never
+      computed — and ``X̄`` reuses the left-upper/lower forms.
+
+    Exact (block-skipping, not approximation).  Callers gate on
+    ``config.tri_matmul_min_m``: at M=2048 the skipped flops hide under
+    HBM-bound neighbors (measured, BENCH_NOTES), at M=8192 they are the
+    MXU-bound slice of the step."""
+    from ..config import resolve_matmul_precision
+
+    prec = resolve_matmul_precision(X.dtype)
+    if transpose_t:
+        return matmul_left_upper(jnp.swapaxes(T, -1, -2), X, prec)
+    return matmul_left_lower(T, X, prec)
+
+
+def _tri_project_fwd(T, X, transpose_t):
+    return tri_project(T, X, transpose_t), (T, X)
+
+
+def _tri_project_bwd(transpose_t, res, Ybar):
+    T, X = res
+    from ..config import resolve_matmul_precision
+
+    prec = resolve_matmul_precision(X.dtype)
+    if transpose_t:
+        # Y = Tᵀ X:  T̄ = tril(X Ȳᵀ),  X̄ = T Ȳ
+        T_bar = matmul_tril_out(X, jnp.swapaxes(Ybar, -1, -2), prec)
+        X_bar = matmul_left_lower(T, Ybar, prec)
+    else:
+        # Y = T X:  T̄ = tril(Ȳ Xᵀ),  X̄ = Tᵀ Ȳ
+        T_bar = matmul_tril_out(Ybar, jnp.swapaxes(X, -1, -2), prec)
+        X_bar = matmul_left_upper(jnp.swapaxes(T, -1, -2), Ybar, prec)
+    return T_bar, X_bar
+
+
+tri_project.defvjp(_tri_project_fwd, _tri_project_bwd)
 
 
 def _chol_bwd_from_inv(L, Linv, L_bar):

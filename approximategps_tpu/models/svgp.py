@@ -125,6 +125,17 @@ def _matvec_f32(a, b):
     return jnp.matmul(a, b, preferred_element_type=acc).astype(acc)
 
 
+def _tri_proj(M: int) -> bool:
+    """Gate for the triangular-aware projection matmuls (`linalg.
+    tri_project`): only where the (M, B) projections are MXU-bound (large
+    M).  Forced on at M=2048 the skipped flops hide under HBM-bound
+    neighbors (measured — same crossover as the Φ-sandwich blocking,
+    BENCH_NOTES); both share ``config.tri_matmul_min_m``.  (Sizes where
+    ``_tri_blocks`` picks nb=1 still run through the custom VJP — dense
+    forward, tril-only pullback.)"""
+    return M >= getattr(config, "tri_matmul_min_m", 4096)
+
+
 @pytree_dataclass
 class SVGPPosterior(AbstractGP):
     """ApproxPosteriorGP{SparseVariationalApproximation} with the prediction
@@ -150,9 +161,17 @@ class SVGPPosterior(AbstractGP):
                 # (M, B) intermediates hit HBM at half width; the MXU still
                 # accumulates f32 internally
                 Kuf = Kuf.astype(dt)
-                A = jnp.matmul(
-                    self.cache.Lk_inv.astype(dt), Kuf, preferred_element_type=dt
-                )
+                if _tri_proj(Kuf.shape[0]):
+                    A = linalg.tri_project(self.cache.Lk_inv.astype(dt), Kuf)
+                else:
+                    A = jnp.matmul(
+                        self.cache.Lk_inv.astype(dt), Kuf,
+                        preferred_element_type=dt,
+                    )
+            elif _tri_proj(Kuf.shape[0]):
+                # large-M MXU-bound projection: triangular-aware blocked
+                # matmul + tril-only hand pullback (~44% flop cut each way)
+                A = linalg.tri_project(self.cache.Lk_inv, Kuf)
             else:
                 A = jnp.matmul(
                     self.cache.Lk_inv, Kuf,
@@ -168,6 +187,13 @@ class SVGPPosterior(AbstractGP):
 
     def _BtA(self, A):
         dt = _storage_dtype(self.cache.B.dtype)
+        if _tri_proj(A.shape[0]):
+            # scale_tril is lower-triangular by the library contract
+            # (distributions.MultivariateNormal reads only its tril)
+            B = self.cache.B
+            if dt is not None and A.dtype == dt:
+                B = B.astype(dt)
+            return linalg.tri_project(B, A, True)
         if dt is not None and A.dtype == dt:
             return jnp.matmul(self.cache.B.T.astype(dt), A, preferred_element_type=dt)
         return jnp.matmul(self.cache.B.T, A,

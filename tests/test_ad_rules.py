@@ -96,6 +96,29 @@ def test_whitened_cache_fused():
     )
 
 
+@pytest.mark.parametrize("transpose_t", [False, True])
+def test_tri_project(transpose_t):
+    """tri_project (triangular-aware large-M projection): forward equals
+    the dense (tril T) matmul and the tril-only hand pullback passes FD.
+    The tril wrapper mirrors the library contract — T's strictly-upper
+    entries are dead upstream (chol factors / scale_tril)."""
+    from approximategps_tpu.core.linalg import tri_project
+
+    # M=2048 → _tri_blocks picks nb=2: the blocked (non-dense-fallback)
+    # path is what's under test
+    M, B = 2048, 16
+    k1, k2 = jax.random.split(KEY)
+    T = _r(k1, M, M) * 0.05
+    X = _r(k2, M, B)
+    Y = tri_project(jnp.tril(T), X, transpose_t)
+    Y0 = (jnp.tril(T).T if transpose_t else jnp.tril(T)) @ X
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(Y0), atol=1e-12)
+    check_grads(
+        lambda T, X: tri_project(jnp.tril(T), X, transpose_t), (T, X),
+        **CHECK,
+    )
+
+
 def test_whitened_cache_fused_gram():
     """The gram-generating composite (`_whitened_cache_fused_gram`): the
     Kuu Gram is built inside the panel kernel, so the pullback chains

@@ -472,6 +472,64 @@ def test_gram_fused_posterior_dispatch_agrees():
         )
 
 
+def test_tri_projection_path_agrees():
+    """The triangular-aware projection path (tri_matmul_min_m forced low,
+    S-correction forced OFF — the large-M production configuration):
+    elbo values, predictions and full-parameter gradients match the
+    default triangular path."""
+    from approximategps_tpu.config import config_context
+
+    M, N = 128, 48
+    key = jax.random.PRNGKey(7)
+    kx, kz, kq = jax.random.split(key, 3)
+    x = jax.random.uniform(kx, (N, 2)) * 4
+    y = jnp.sin(x[:, 0]) + 0.3 * jnp.cos(2 * x[:, 1])
+    z0 = jax.random.uniform(kz, (M, 2)) * 4
+    L0 = 0.6 * jnp.eye(M) + 0.01 * jnp.tril(jax.random.normal(kq, (M, M)))
+
+    def loss(params):
+        kern = make_kernel(params["k"])
+        f_ = agp.GP(kern)
+        fz_ = f_(params["z"], 1e-6)
+        q_ = agp.MultivariateNormal(params["m"], jnp.tril(params["L"]))
+        sva_ = agp.SparseVariationalApproximation(fz_, q_)
+        post = agp.posterior(sva_)
+        mu, var = post.mean_and_var(x)
+        e = agp.elbo(sva_, f_(x, 0.1), y)
+        return e, (mu, var)
+
+    params = {
+        "k": jnp.array([0.2, 0.6]),
+        "z": z0,
+        "m": jnp.linspace(-0.2, 0.3, M),
+        "L": L0,
+    }
+
+    def run():
+        return jax.jit(
+            lambda p: jax.value_and_grad(loss, has_aux=True)(p)
+        )(params)
+
+    with config_context(solve_mode="triangular"):
+        (e0, (mu0, var0)), g0 = run()
+    with config_context(
+        solve_mode="inv_matmul", s_corr_max_m=0, tri_matmul_min_m=64
+    ):
+        from approximategps_tpu.models.svgp import _tri_proj
+
+        assert _tri_proj(M)  # guard: the tri dispatch must engage
+        (e1, (mu1, var1)), g1 = run()
+
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var0), atol=1e-9)
+    for name in g0:
+        np.testing.assert_allclose(
+            np.asarray(g1[name]), np.asarray(g0[name]), atol=2e-6,
+            err_msg=f"gradient wrt {name}",
+        )
+
+
 def test_nonzero_mean_svgp_matches_exact(key):
     """Centered SVGP with optimal q and a non-zero prior mean (z == x) still
     equals exact GP regression — exercises the mean(fz) terms in the cache."""
