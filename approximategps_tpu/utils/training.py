@@ -178,7 +178,7 @@ def make_natgrad_adam_step(
     optimizer=None,
     nat_lr: float = 0.1,
     learning_rate: float = 1e-3,
-    gradient_precision: str | None = "highest",
+    gradient_precision: str | None = "high",
 ):
     """Fused hybrid training step — the standard large-scale SVGP recipe:
     Adam on the hyperparameters, one natural-gradient step on the
@@ -197,14 +197,17 @@ def make_natgrad_adam_step(
     so the natgrad's only O(M³) factorizations are the two fused
     ``chol_with_inv`` calls inside :func:`_natgrad_core`.
 
-    ``gradient_precision`` (default "highest") pins the matmul precision of
+    ``gradient_precision`` (default "high") pins the matmul precision of
     the ELBO gradient pass.  Natural gradients consume the gradient
     ADDITIVELY into a precision matrix that must stay PD: at M=2048 / TPU
-    f32, the default bf16-pass projection matmuls leave ~±1e3 absolute
-    noise on S̄ entries whose true magnitude is O(1) — a 3% relative error
-    that Adam shrugs off but that drives S⁻¹ − 2·lr·S̄ indefinite and NaNs
-    the factorization (measured; same failure class as the CG-matvec
-    precision rule in BENCH_NOTES).  Pass ``None`` to inherit the ambient
+    f32, single-pass bf16 ("default") projection matmuls leave ~1e-3-class
+    relative noise on S̄ — noise Adam shrugs off but that drives
+    S⁻¹ − 2·lr·S̄ indefinite and NaNs the factorization (measured; same
+    failure class as the CG-matvec precision rule in BENCH_NOTES).  The
+    3-pass "high" (≈4e-6 relative, f32-class) is measured SAFE and
+    matches the "highest" ELBO trajectory to 4 digits over 200 steps at
+    M=2048/B=8192 while cutting the step 16.1 → 10.3 ms; pass "highest"
+    for the paranoid 6-pass variant, or ``None`` to inherit the ambient
     config (e.g. for f64 oracle runs where bf16 passes don't exist)."""
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
