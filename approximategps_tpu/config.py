@@ -64,6 +64,20 @@ class _Config:
     #   "pallas": force the Pallas kernel (interpret mode off-TPU)
     #   "xla":    always the XLA path
     chol_mode: str = os.environ.get("AGP_CHOL_MODE", "auto")
+    # Precision of the K·V matvecs INSIDE CG iterations (iterative.py /
+    # laplace_cg.py).  Measured (v5e): SINGLE-RHS matvecs are
+    # precision-INSENSITIVE on TPU (GEMV takes no bf16 passes — "high" and
+    # "highest" compile to bit-identical programs), so the Newton B-solve
+    # is unaffected; the knob matters only for BLOCK solves (batched-CG
+    # predictions, SLQ probe blocks), where the original failure was
+    # measured: single-pass bf16 ("default") stalls the per-column
+    # residual at ~1e-3.  "highest" (6-pass) stays the default; "high"
+    # (3-pass, f32-class products) is the cheaper block-path option.
+    # One-shot solve-PRODUCT applications (posterior means/covs from a
+    # solved V) stay pinned at "highest" regardless: their noise lands
+    # directly in the output, not in a residual the iteration re-corrects.
+    cg_matvec_precision: str = os.environ.get(
+        "AGP_CG_MATVEC_PRECISION", "highest")
     # Gram-fused posterior build: generate the Kuu panels INSIDE the
     # streamed-panel (L, L⁻¹) kernel (ops/panel_chol.pallas_gram_chol_inv)
     # instead of materializing Kuu in HBM first.  "auto" follows chol_mode's

@@ -23,6 +23,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from ..config import config
 from ..core.gp import FiniteGP
 from ..core.kernels import as_points
 
@@ -177,17 +178,21 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None):
             return noise_arr[:, None] * V
         return noise_arr @ V
 
-    # K·V at precision="highest" ALWAYS: on TPU the default matmul runs
-    # bf16 passes, and CG amplifies matvec noise — measured on v5e at
+    # K·V at ELEVATED precision ALWAYS: on TPU the default matmul runs
+    # single-pass bf16, and CG amplifies matvec noise — measured on v5e at
     # N=2·10⁴: the per-column residual stalls at ~1e-3 (above tol) and the
     # block solve then diverges, while the identical math converges on CPU
-    # f32.  The 3-6× matmul-pass cost is the price of a correct solver.
+    # f32.  config.cg_matvec_precision picks the pass count: "highest"
+    # (6-pass, conservative default) or the measured-safe "high" (3-pass,
+    # f32-class products — converged with identical iteration counts on
+    # the Bernoulli Newton fixtures, see BENCH_NOTES).
+    mv_prec = getattr(config, "cg_matvec_precision", "highest")
     if block_size is None or block_size >= N:
         def matvec(V):
             vec = V.ndim == 1
             if vec:
                 V = V[:, None]
-            out = jnp.matmul(kernel.gram(X), V, precision="highest")
+            out = jnp.matmul(kernel.gram(X), V, precision=mv_prec)
             out = out + noise_apply(V)
             return out[:, 0] if vec else out
 
@@ -205,7 +210,7 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None):
             V = V[:, None]
 
         def block(xb):
-            return jnp.matmul(kernel.gram(xb, X), V, precision="highest")
+            return jnp.matmul(kernel.gram(xb, X), V, precision=mv_prec)
 
         out = jax.lax.map(block, Xb).reshape(n_blocks * bs, V.shape[1])[:N]
         out = out + noise_apply(V)

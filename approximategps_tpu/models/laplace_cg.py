@@ -70,10 +70,12 @@ def _k_matvec(kern, x, block_size, noise=0.0, storage="auto"):
         K = kern.gram(as_points(x))
         noise_arr = jnp.asarray(noise, K.dtype)
 
+        mv_prec = getattr(config, "cg_matvec_precision", "highest")
+
         def mv(v):
             vec = v.ndim == 1
             V = v[:, None] if vec else v
-            out = jnp.matmul(K, V, precision="highest") + noise_arr * V
+            out = jnp.matmul(K, V, precision=mv_prec) + noise_arr * V
             return out[:, 0] if vec else out
 
         return mv
