@@ -459,6 +459,8 @@ def logpdf_slq(
     cg_maxiter: int = 1000,
     block_size: int | None = None,
     reorth: bool = False,
+    precond_rank: int = 0,
+    precond_Lk: jax.Array | None = None,
 ) -> jax.Array:
     """Exact log marginal likelihood with the logdet estimated by stochastic
     Lanczos quadrature: logdet(A) ≈ (N/P) Σ_p eᵀ₁ f(T_p) e₁ with f = log on
@@ -473,7 +475,17 @@ def logpdf_slq(
 
     using the SAME probes as the value, so a fixed key gives a consistent
     deterministic objective for the optimiser.  This is what makes exact-GP
-    hyperparameter training run at matrix-free scale."""
+    hyperparameter training run at matrix-free scale.
+
+    ``precond_rank > 0`` preconditions the CG solves (the α solve and the
+    backward's P-probe block solve) with the pivoted-Cholesky/Woodbury
+    form — the Lanczos logdet recursion itself stays unpreconditioned
+    (preconditioned logdet needs a log det M correction; the solves are
+    where the iteration count hurts).  ``precond_Lk`` passes a CARRIED
+    factor instead (e.g. one refreshed on a schedule during hyperopt —
+    :func:`~approximategps_tpu.utils.training.make_slq_hyperopt_step`):
+    a stale preconditioner is solution-invariant, it only costs CG
+    iterations, so the factor is treated as a constant (zero cotangent)."""
     n = len(fx)
     dtype = jnp.result_type(y, jnp.float32)
     probes = (
@@ -481,20 +493,34 @@ def logpdf_slq(
         if hasattr(jax.random, "rademacher")
         else jnp.sign(jax.random.normal(key, (num_probes, n), dtype=dtype))
     )
+    Lk = precond_Lk
+    if Lk is None and precond_rank > 0:
+        Lk = pivoted_cholesky(fx.f.kernel, as_points(fx.x), precond_rank)
+    if Lk is not None:
+        Lk = jax.lax.stop_gradient(Lk)
     return _logpdf_slq_core(
         lanczos_iters, cg_tol, cg_maxiter, block_size, bool(reorth), fx, y,
-        probes
+        probes, Lk
     )
+
+
+def _slq_minv(Lk, noise):
+    """Woodbury preconditioner application from a (possibly stale) carried
+    pivoted-Cholesky factor, or None."""
+    if Lk is None:
+        return None
+    return woodbury_preconditioner(Lk, noise)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
                      fx, y,
-                     probes):
+                     probes, Lk=None):
     n = len(fx)
     matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
     delta = y - fx.mean()
-    alpha = cg_solve(matvec, delta, cg_tol, cg_maxiter)
+    alpha = cg_solve(matvec, delta, cg_tol, cg_maxiter,
+                     M_inv=_slq_minv(Lk, fx.noise))
     quad = delta @ alpha
 
     def probe_logdet(v):
@@ -511,23 +537,26 @@ def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
 
 def _logpdf_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
                     fx, y,
-                    probes):
+                    probes, Lk=None):
     val = _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size,
                            reorth,
-                           fx, y, probes)
+                           fx, y, probes, Lk)
     # alpha is recomputed in the backward (one CG) so the forward stores
     # only the inputs — keeps remat/scan memory flat
-    return val, (fx, y, probes)
+    return val, (fx, y, probes, Lk)
 
 
 def _logpdf_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
                     res, ct):
-    fx, y, probes = res
+    fx, y, probes, Lk = res
     matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
+    M_inv = _slq_minv(Lk, fx.noise)
     delta = jax.lax.stop_gradient(y - fx.mean())
-    alpha = jax.lax.stop_gradient(cg_solve(matvec, delta, cg_tol, cg_maxiter))
+    alpha = jax.lax.stop_gradient(
+        cg_solve(matvec, delta, cg_tol, cg_maxiter, M_inv=M_inv)
+    )
     W = jax.lax.stop_gradient(
-        cg_solve(matvec, probes.T, cg_tol, cg_maxiter)
+        cg_solve(matvec, probes.T, cg_tol, cg_maxiter, M_inv=M_inv)
     )  # (n, P): w_p = K̂⁻¹ z_p
 
     def surrogate(fx_, y_, probes_):
@@ -544,7 +573,10 @@ def _logpdf_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
 
     _, vjp = jax.vjp(surrogate, fx, y, probes)
     dfx, dy, dprobes = vjp(ct)
-    return dfx, dy, dprobes
+    # the preconditioner factor is solution-invariant (it changes CG
+    # iteration counts, never the converged solve) → zero cotangent
+    dLk = None if Lk is None else jnp.zeros_like(Lk)
+    return dfx, dy, dprobes, dLk
 
 
 _logpdf_slq_core.defvjp(_logpdf_slq_fwd, _logpdf_slq_bwd)

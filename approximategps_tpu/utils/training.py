@@ -29,6 +29,7 @@ __all__ = [
     "natgrad_update",
     "natgrad_update_tril",
     "make_natgrad_adam_step",
+    "make_slq_hyperopt_step",
 ]
 
 
@@ -239,6 +240,68 @@ def make_natgrad_adam_step(
         hyper = optax.apply_updates(hyper, updates)
         m, L, Linv = natgrad_update_tril(m, L, g_m, g_L, lr=nat_lr, Linv=Linv)
         return (hyper, opt_state, m, L, Linv), e
+
+    return step, init
+
+
+def make_slq_hyperopt_step(
+    build_fx: Callable,
+    y: jax.Array,
+    key: jax.Array,
+    optimizer=None,
+    learning_rate: float = 1e-2,
+    precond_rank: int = 0,
+    refresh_every: int = 25,
+    **slq_kwargs,
+):
+    """Exact-GP hyperparameter optimisation at matrix-free scale: Adam on
+    ``-logpdf_slq`` with the pivoted-Cholesky CG preconditioner CARRIED
+    across steps and refreshed every ``refresh_every`` steps.
+
+    ``build_fx(params) -> FiniteGP`` over the (fixed) training inputs.
+    Returns ``(step, init)``: ``init(params)`` builds the carry
+    ``(params, opt_state, Lk, t)`` (factor built from the initial
+    hyperparameters); ``step(carry) -> (carry, loss)`` is fully jittable.
+
+    Why a schedule: the factor costs O(N·r²) kernel evaluations + an r-step
+    greedy pass per build — per-step rebuilds waste that on hypers that
+    moved O(lr).  A STALE factor is solution-invariant (preconditioning
+    changes CG iteration counts, never the converged solve, and
+    ``logpdf_slq`` gives it a zero cotangent), so refreshing only when the
+    hypers have drifted keeps the iteration-count win at ~1/refresh_every
+    of the build cost (the GPyTorch production recipe, Gardner et al. 2018
+    §3.2).  With ``precond_rank=0`` the carry skips the factor entirely."""
+    from ..models.iterative import logpdf_slq, pivoted_cholesky
+
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+
+    def _factor(params):
+        fx = build_fx(params)
+        from ..core.kernels import as_points
+
+        return jax.lax.stop_gradient(
+            pivoted_cholesky(fx.f.kernel, as_points(fx.x), precond_rank)
+        )
+
+    def init(params):
+        Lk = _factor(params) if precond_rank > 0 else None
+        return (params, opt.init(params), Lk, jnp.int32(0))
+
+    def loss_fn(params, Lk):
+        return -logpdf_slq(build_fx(params), y, key, precond_Lk=Lk,
+                           **slq_kwargs)
+
+    @jax.jit
+    def step(carry):
+        params, opt_state, Lk, t = carry
+        if precond_rank > 0:
+            Lk = jax.lax.cond(
+                t % refresh_every == 0, _factor, lambda _: Lk, params
+            )
+        loss, g = jax.value_and_grad(loss_fn)(params, Lk)
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, Lk, t + 1), loss
 
     return step, init
 

@@ -322,3 +322,69 @@ def test_slq_logdet_high_condition_envelope():
     for reorth in (False, True):
         err = abs(slq_logdet(reorth) - logdet_true) / abs(logdet_true)
         assert err < 0.02, (reorth, err)
+
+
+def test_slq_preconditioned_matches_unpreconditioned(key):
+    """logpdf_slq with CG preconditioning (fresh-built or a carried stale
+    factor) equals the unpreconditioned value AND gradient to solve
+    tolerance — preconditioning is solution-invariant, and the carried
+    factor gets a zero cotangent."""
+    from approximategps_tpu.models.iterative import pivoted_cholesky
+
+    f, fx, x, y = _setup(key, N=60)
+    kw = dict(num_probes=16, lanczos_iters=40, cg_tol=1e-10)
+    k0 = jax.random.PRNGKey(0)
+
+    def lml(theta, **pkw):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.Matern52Kernel(), jax.nn.softplus(theta[1])
+        )
+        return logpdf_slq(agp.GP(kern)(x, 0.1), y, k0, **kw, **pkw)
+
+    theta = jnp.array([1.2, 0.7])
+    v0, g0 = jax.value_and_grad(lml)(theta)
+    v1, g1 = jax.value_and_grad(lambda t: lml(t, precond_rank=20))(theta)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
+
+    # carried STALE factor (built under different hypers): still exact
+    kern_stale = 0.7 * agp.with_lengthscale(agp.Matern52Kernel(), 1.5)
+    Lk = pivoted_cholesky(kern_stale, x, 20)
+    v2, g2 = jax.value_and_grad(lambda t: lml(t, precond_Lk=Lk))(theta)
+    np.testing.assert_allclose(float(v2), float(v0), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g0), rtol=1e-6)
+
+
+def test_make_slq_hyperopt_step_refresh_schedule(key):
+    """The carried preconditioner refreshes ONLY on schedule (every
+    refresh_every steps), the loss decreases over a short run, and the
+    factor actually changes at a refresh once the hypers have moved."""
+    from approximategps_tpu.utils.training import make_slq_hyperopt_step
+
+    f, fx, x, y = _setup(key, N=50)
+
+    def build_fx(theta):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.Matern52Kernel(), jax.nn.softplus(theta[1])
+        )
+        return agp.GP(kern)(x, 0.1)
+
+    step, init = make_slq_hyperopt_step(
+        build_fx, y, jax.random.PRNGKey(1), learning_rate=0.1,
+        precond_rank=12, refresh_every=2,
+        num_probes=8, lanczos_iters=30, cg_tol=1e-10,
+    )
+    carry = init(jnp.array([0.2, 0.2]))
+    Lks, losses = [], []
+    for _ in range(4):
+        Lks.append(np.asarray(carry[2]))
+        carry, loss = step(carry)
+        losses.append(float(loss))
+    # Lks[i] = carried factor AFTER i steps.  Step 1 (t=0) refreshes with
+    # the init hypers → unchanged; step 2 (t=1) carries; step 3 (t=2)
+    # refreshes with MOVED hypers → changed.
+    np.testing.assert_array_equal(Lks[1], Lks[0])
+    np.testing.assert_array_equal(Lks[2], Lks[1])
+    assert np.abs(Lks[3] - Lks[2]).max() > 0
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
