@@ -188,8 +188,9 @@ class SVGPPosterior(AbstractGP):
     def _BtA(self, A):
         dt = _storage_dtype(self.cache.B.dtype)
         if _tri_proj(A.shape[0]):
-            # scale_tril is lower-triangular by the library contract
-            # (distributions.MultivariateNormal reads only its tril)
+            # cache.B is exactly lower-triangular: _posterior_svgp trils
+            # scale_tril once at build time (NonCentered), and the Centered
+            # B = Lk⁻¹·tril(Lq) is a product of lower factors
             B = self.cache.B
             if dt is not None and A.dtype == dt:
                 B = B.astype(dt)
@@ -303,6 +304,46 @@ def inducing_points(f_post: SVGPPosterior) -> jax.Array:
     return f_post.inducing_points()
 
 
+def _cache_tail(J, Lq, m):
+    """(α, C0, S) from J = Lk⁻¹ — the tail of the whitened-cache build,
+    shared by the plain and gram-fused composites (primal AND fwd)."""
+    prec = resolve_matmul_precision(m.dtype)
+    alpha = J.T @ m
+    C0 = jnp.matmul(Lq, Lq.T, precision=prec) - jnp.eye(
+        Lq.shape[-1], dtype=Lq.dtype
+    )
+    S = jnp.matmul(J.T, jnp.matmul(C0, J, precision=prec), precision=prec)
+    return alpha, C0, S
+
+
+def _cache_tail_cotangents(J, C0, Lq, m, cts):
+    """Shared cotangent assembly for the whitened-cache composites: from
+    the output cotangents ``(dLk, dJ, dalpha, dS)`` build
+    ``(Lk̄-or-None, J̄-or-None, L̄q, m̄)``, reusing ``P = J·dSs`` across the
+    C0-, Lq- and J-cotangents (the minimal 5-matmul assembly)."""
+    from jax.custom_derivatives import SymbolicZero
+
+    dLk, dJ, dalpha, dS = cts
+    prec = resolve_matmul_precision(Lq.dtype)
+    J_bar = None
+    Lq_bar = jnp.zeros_like(Lq)
+    m_bar = jnp.zeros_like(m)
+    if not isinstance(dS, SymbolicZero):
+        dSs = dS + dS.T
+        P = jnp.matmul(J, dSs, precision=prec)
+        Q = jnp.matmul(P, J.T, precision=prec)  # = C0̄ + C0̄ᵀ
+        Lq_bar = jnp.matmul(Q, Lq, precision=prec)
+        J_bar = jnp.matmul(C0, P, precision=prec)
+    if not isinstance(dalpha, SymbolicZero):
+        r1 = m[:, None] * dalpha[None, :]
+        J_bar = r1 if J_bar is None else J_bar + r1
+        m_bar = jnp.matmul(J, dalpha, precision=prec)
+    if not isinstance(dJ, SymbolicZero):
+        J_bar = dJ if J_bar is None else J_bar + dJ
+    Lk_bar = None if isinstance(dLk, SymbolicZero) else dLk
+    return Lk_bar, J_bar, Lq_bar, m_bar
+
+
 @jax.custom_vjp
 def _whitened_cache_fused(Kuu, Lq, m):
     """NonCentered posterior cache ``(Lk, J=Lk⁻¹, α=Jᵀm, S=Jᵀ(LqLqᵀ−I)J)``
@@ -323,57 +364,26 @@ def _whitened_cache_fused(Kuu, Lq, m):
     so numerics don't change."""
     from ..core.linalg import _chol_with_inv_impl
 
-    prec = resolve_matmul_precision(Kuu.dtype)
     Lk, J = _chol_with_inv_impl(Kuu, 256)
-    alpha = J.T @ m
-    C0 = jnp.matmul(Lq, Lq.T, precision=prec) - jnp.eye(
-        Lq.shape[-1], dtype=Lq.dtype
-    )
-    S = jnp.matmul(J.T, jnp.matmul(C0, J, precision=prec), precision=prec)
+    alpha, _, S = _cache_tail(J, Lq, m)
     return Lk, J, alpha, S
 
 
 def _whitened_cache_fwd(Kuu, Lq, m):
     from ..core.linalg import _chol_with_inv_impl
 
-    prec = resolve_matmul_precision(Kuu.value.dtype)
     Lk, J = _chol_with_inv_impl(Kuu.value, 256)
-    alpha = J.T @ m.value
-    C0 = jnp.matmul(Lq.value, Lq.value.T, precision=prec) - jnp.eye(
-        Lq.value.shape[-1], dtype=Lq.value.dtype
-    )
-    S = jnp.matmul(J.T, jnp.matmul(C0, J, precision=prec), precision=prec)
+    alpha, C0, S = _cache_tail(J, Lq.value, m.value)
     return (Lk, J, alpha, S), (Lk, J, C0, Lq.value, m.value)
 
 
 def _whitened_cache_bwd(res, cts):
-    from jax.custom_derivatives import SymbolicZero
-
     from ..core.linalg import _inv_chol_bwd_fused
 
     Lk, J, C0, Lq, m = res
-    dLk, dJ, dalpha, dS = cts
-    prec = resolve_matmul_precision(Lq.dtype)
-
-    J_bar = None
-    Lq_bar = jnp.zeros_like(Lq)
-    m_bar = jnp.zeros_like(m)
-    if not isinstance(dS, SymbolicZero):
-        dSs = dS + dS.T
-        P = jnp.matmul(J, dSs, precision=prec)
-        Q = jnp.matmul(P, J.T, precision=prec)  # = C0̄ + C0̄ᵀ
-        Lq_bar = jnp.matmul(Q, Lq, precision=prec)
-        J_bar = jnp.matmul(C0, P, precision=prec)
-    if not isinstance(dalpha, SymbolicZero):
-        r1 = m[:, None] * dalpha[None, :]
-        J_bar = r1 if J_bar is None else J_bar + r1
-        m_bar = jnp.matmul(J, dalpha, precision=prec)
-    if not isinstance(dJ, SymbolicZero):
-        J_bar = dJ if J_bar is None else J_bar + dJ
-
+    Lk_bar, J_bar, Lq_bar, m_bar = _cache_tail_cotangents(J, C0, Lq, m, cts)
     # (L̄k, J̄) → K̄uu in one fused Φ-sandwich (3-4 matmuls, down from the
     # chained tril-inv-then-chol form's 5 — see _inv_chol_bwd_fused)
-    Lk_bar = None if isinstance(dLk, SymbolicZero) else dLk
     Kuu_bar = _inv_chol_bwd_fused(Lk, J, Lk_bar, J_bar)
     return Kuu_bar, Lq_bar, m_bar
 
@@ -431,57 +441,27 @@ def _whitened_cache_fused_gram(Zs, v2, jitter, Lq, m, k_of_r2):
     data-term epilogue uses."""
     from ..ops.panel_chol import pallas_gram_chol_inv
 
-    prec = resolve_matmul_precision(m.dtype)
     Lk, J = pallas_gram_chol_inv(Zs, v2, jitter, k_of_r2)
-    alpha = J.T @ m
-    C0 = jnp.matmul(Lq, Lq.T, precision=prec) - jnp.eye(
-        Lq.shape[-1], dtype=Lq.dtype
-    )
-    S = jnp.matmul(J.T, jnp.matmul(C0, J, precision=prec), precision=prec)
+    alpha, _, S = _cache_tail(J, Lq, m)
     return Lk, J, alpha, S
 
 
 def _whitened_cache_gram_fwd(Zs, v2, jitter, Lq, m, k_of_r2):
     from ..ops.panel_chol import pallas_gram_chol_inv
 
-    prec = resolve_matmul_precision(m.value.dtype)
     Lk, J = pallas_gram_chol_inv(Zs.value, v2.value, jitter.value, k_of_r2)
-    alpha = J.T @ m.value
-    C0 = jnp.matmul(Lq.value, Lq.value.T, precision=prec) - jnp.eye(
-        Lq.value.shape[-1], dtype=Lq.value.dtype
-    )
-    S = jnp.matmul(J.T, jnp.matmul(C0, J, precision=prec), precision=prec)
+    alpha, C0, S = _cache_tail(J, Lq.value, m.value)
     return (Lk, J, alpha, S), (
         Lk, J, C0, Lq.value, m.value, Zs.value, v2.value
     )
 
 
 def _whitened_cache_gram_bwd(k_of_r2, res, cts):
-    from jax.custom_derivatives import SymbolicZero
-
     from ..core.linalg import _inv_chol_bwd_fused
 
     Lk, J, C0, Lq, m, Zs, v2 = res
-    dLk, dJ, dalpha, dS = cts
     prec = resolve_matmul_precision(Lq.dtype)
-
-    J_bar = None
-    Lq_bar = jnp.zeros_like(Lq)
-    m_bar = jnp.zeros_like(m)
-    if not isinstance(dS, SymbolicZero):
-        dSs = dS + dS.T
-        P = jnp.matmul(J, dSs, precision=prec)
-        Q = jnp.matmul(P, J.T, precision=prec)
-        Lq_bar = jnp.matmul(Q, Lq, precision=prec)
-        J_bar = jnp.matmul(C0, P, precision=prec)
-    if not isinstance(dalpha, SymbolicZero):
-        r1 = m[:, None] * dalpha[None, :]
-        J_bar = r1 if J_bar is None else J_bar + r1
-        m_bar = jnp.matmul(J, dalpha, precision=prec)
-    if not isinstance(dJ, SymbolicZero):
-        J_bar = dJ if J_bar is None else J_bar + dJ
-
-    Lk_bar = None if isinstance(dLk, SymbolicZero) else dLk
+    Lk_bar, J_bar, Lq_bar, m_bar = _cache_tail_cotangents(J, C0, Lq, m, cts)
     zero_scalar = jnp.zeros((), Zs.dtype)
     if Lk_bar is None and J_bar is None:
         return jnp.zeros_like(Zs), zero_scalar, zero_scalar, Lq_bar, m_bar
@@ -533,6 +513,13 @@ def _posterior_svgp(
     q, fz = sva.q, sva.fz
     m = q.mean
     M = m.shape[-1]
+    # The posterior consumes ONLY the lower triangle of scale_tril —
+    # enforced once here so every downstream path (dense matmuls,
+    # triangular solves, the tri_project blocked forms, their pullbacks)
+    # agrees bit-for-bit and gradients w.r.t. the dead strictly-upper
+    # entries are uniformly zero.  A no-op (one fused elementwise mask)
+    # when the factor honors its name.
+    qL = jnp.tril(q.scale_tril)
     solve_mode = resolve_solve_mode(jnp.result_type(m), size=M)
     # S-correction only while its one-time 6M³ build (+M³-scale pullback)
     # beats one extra (M, B) projection per variance evaluation — see
@@ -553,15 +540,15 @@ def _posterior_svgp(
             v2 = jnp.asarray(1.0 if variance is None else variance, dt)
             jit_ = jnp.asarray(fz.noise, dt)
             Kuu_L, Lk_inv, alpha, S_corr = _whitened_cache_fused_gram(
-                Zs, v2, jit_, q.scale_tril, m, k_of_r2
+                Zs, v2, jit_, qL, m, k_of_r2
             )
         else:
             # NonCentered hot path: fused composite, minimal pullback
             Kuu_L, Lk_inv, alpha, S_corr = _whitened_cache_fused(
-                fz.cov(), q.scale_tril, m
+                fz.cov(), qL, m
             )
         cache = _SVGPCache(
-            Kuu_L=Kuu_L, B=q.scale_tril, alpha=alpha, Lk_inv=Lk_inv,
+            Kuu_L=Kuu_L, B=qL, alpha=alpha, Lk_inv=Lk_inv,
             S_corr=S_corr,
         )
         return SVGPPosterior(approx=sva, cache=cache)
@@ -577,11 +564,11 @@ def _posterior_svgp(
         if Lk_inv is not None:
             # matmul-only path (single-RHS triangular solves are
             # latency-bound on TPU; the inverse is already paid for)
-            B = jnp.matmul(Lk_inv, q.scale_tril,
+            B = jnp.matmul(Lk_inv, qL,
                            precision=resolve_matmul_precision(m.dtype))
             alpha = Lk_inv.T @ (Lk_inv @ (m - fz.mean()))
         else:
-            B = linalg.solve_lower_triangular(Kuu_L, q.scale_tril)
+            B = linalg.solve_lower_triangular(Kuu_L, qL)
             alpha = linalg.cholesky_solve(Kuu_L, m - fz.mean())
     else:
         # NonCentered: α = Lk⁻ᵀ m ; B = Lq
@@ -589,7 +576,7 @@ def _posterior_svgp(
             alpha = Lk_inv.T @ m
         else:
             alpha = linalg.solve_upper_triangular(Kuu_L.T, m)
-        B = q.scale_tril
+        B = qL
     S_corr = None
     if Lk_inv is not None and use_s_corr:
         # three M×M matmuls, paid once per posterior (vs one extra (M, B)

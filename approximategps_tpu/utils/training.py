@@ -295,8 +295,12 @@ def make_slq_hyperopt_step(
     def step(carry):
         params, opt_state, Lk, t = carry
         if precond_rank > 0:
+            # t > 0: init() already built the factor from these exact
+            # hyperparameters, so the t=0 rebuild would be a wasted
+            # O(N·r²) pass
             Lk = jax.lax.cond(
-                t % refresh_every == 0, _factor, lambda _: Lk, params
+                (t > 0) & (t % refresh_every == 0), _factor, lambda _: Lk,
+                params,
             )
         loss, g = jax.value_and_grad(loss_fn)(params, Lk)
         updates, opt_state = opt.update(g, opt_state, params)

@@ -380,9 +380,9 @@ def test_make_slq_hyperopt_step_refresh_schedule(key):
         Lks.append(np.asarray(carry[2]))
         carry, loss = step(carry)
         losses.append(float(loss))
-    # Lks[i] = carried factor AFTER i steps.  Step 1 (t=0) refreshes with
-    # the init hypers → unchanged; step 2 (t=1) carries; step 3 (t=2)
-    # refreshes with MOVED hypers → changed.
+    # Lks[i] = carried factor AFTER i steps.  Step 1 (t=0) SKIPS the
+    # refresh (init already built it from these hypers); step 2 (t=1)
+    # carries; step 3 (t=2) refreshes with MOVED hypers → changed.
     np.testing.assert_array_equal(Lks[1], Lks[0])
     np.testing.assert_array_equal(Lks[2], Lks[1])
     assert np.abs(Lks[3] - Lks[2]).max() > 0
