@@ -316,6 +316,67 @@ def _cache_tail(J, Lq, m):
     return alpha, C0, S
 
 
+def _cache_chol_cotangents(Lk, J, C0, Lq, m, cts):
+    """(K̄uu-or-None, L̄q, m̄) for the whitened-cache composites — the
+    cache-tail cotangent assembly chained into the (L, J) → K̄uu
+    Φ-sandwich.
+
+    Fast path (the training step: only ``dalpha``/``dS`` live, ``dLk``/
+    ``dJ`` symbolic zeros): the J̄ chain COLLAPSES by associativity —
+    ``inner = −J̄ Jᵀ = −(C0 P + m⊗dα) Jᵀ = −C0 Q − m⊗m̄`` with
+    ``Q = P Jᵀ`` already needed for L̄q — so J̄ is never materialized and
+    the whole pullback is 6 M³ matmuls instead of 7 (P, Q, L̄q, C0 Q,
+    Φ-sandwich ×2).  General cotangents fall back to the 7-matmul
+    assembly + :func:`linalg._inv_chol_bwd_fused`."""
+    from jax.custom_derivatives import SymbolicZero
+
+    from ..core.linalg import (
+        _bwd_precision,
+        _inv_chol_bwd_fused,
+        _phi,
+        matmul_left_upper,
+        matmul_right_lower,
+        symmetrize,
+    )
+
+    dLk, dJ, dalpha, dS = cts
+    if (
+        isinstance(dLk, SymbolicZero)
+        and isinstance(dJ, SymbolicZero)
+        and not isinstance(dS, SymbolicZero)
+    ):
+        prec = resolve_matmul_precision(Lq.dtype)
+        bprec = _bwd_precision()
+        M = Lq.shape[-1]
+        tri = Lq.ndim == 2 and M >= getattr(config, "tri_matmul_min_m", 4096)
+        dSs = dS + dS.T
+        P = jnp.matmul(J, dSs, precision=prec)
+        Q = jnp.matmul(P, J.T, precision=prec)  # = J dSs Jᵀ, symmetric
+        Lq_bar = jnp.matmul(Q, Lq, precision=prec)
+        inner = -jnp.matmul(C0, Q, precision=bprec)
+        if not isinstance(dalpha, SymbolicZero):
+            m_bar = jnp.matmul(J, dalpha, precision=prec)
+            inner = inner - m[:, None] * m_bar[None, :]
+        else:
+            m_bar = jnp.zeros_like(m)
+        Ph = _phi(inner)
+        if tri:
+            Kuu_bar = symmetrize(
+                matmul_left_upper(J.T, matmul_right_lower(Ph, J, bprec), bprec)
+            )
+        else:
+            Kuu_bar = symmetrize(
+                jnp.matmul(
+                    J.T, jnp.matmul(Ph, J, precision=bprec), precision=bprec
+                )
+            )
+        return Kuu_bar, Lq_bar, m_bar
+    Lk_bar, J_bar, Lq_bar, m_bar = _cache_tail_cotangents(J, C0, Lq, m, cts)
+    if Lk_bar is None and J_bar is None:
+        return None, Lq_bar, m_bar
+    return _inv_chol_bwd_fused(Lk, J, Lk_bar, J_bar), Lq_bar, m_bar
+
+
 def _cache_tail_cotangents(J, C0, Lq, m, cts):
     """Shared cotangent assembly for the whitened-cache composites: from
     the output cotangents ``(dLk, dJ, dalpha, dS)`` build
@@ -378,13 +439,12 @@ def _whitened_cache_fwd(Kuu, Lq, m):
 
 
 def _whitened_cache_bwd(res, cts):
-    from ..core.linalg import _inv_chol_bwd_fused
-
     Lk, J, C0, Lq, m = res
-    Lk_bar, J_bar, Lq_bar, m_bar = _cache_tail_cotangents(J, C0, Lq, m, cts)
-    # (L̄k, J̄) → K̄uu in one fused Φ-sandwich (3-4 matmuls, down from the
-    # chained tril-inv-then-chol form's 5 — see _inv_chol_bwd_fused)
-    Kuu_bar = _inv_chol_bwd_fused(Lk, J, Lk_bar, J_bar)
+    # (L̄k, J̄) → K̄uu in one fused Φ-sandwich; on the training-step path
+    # (only dα/dS live) the collapsed 6-matmul form never builds J̄
+    Kuu_bar, Lq_bar, m_bar = _cache_chol_cotangents(Lk, J, C0, Lq, m, cts)
+    if Kuu_bar is None:
+        Kuu_bar = jnp.zeros_like(C0)
     return Kuu_bar, Lq_bar, m_bar
 
 
@@ -457,15 +517,12 @@ def _whitened_cache_gram_fwd(Zs, v2, jitter, Lq, m, k_of_r2):
 
 
 def _whitened_cache_gram_bwd(k_of_r2, res, cts):
-    from ..core.linalg import _inv_chol_bwd_fused
-
     Lk, J, C0, Lq, m, Zs, v2 = res
     prec = resolve_matmul_precision(Lq.dtype)
-    Lk_bar, J_bar, Lq_bar, m_bar = _cache_tail_cotangents(J, C0, Lq, m, cts)
+    Kuu_bar, Lq_bar, m_bar = _cache_chol_cotangents(Lk, J, C0, Lq, m, cts)
     zero_scalar = jnp.zeros((), Zs.dtype)
-    if Lk_bar is None and J_bar is None:
+    if Kuu_bar is None:
         return jnp.zeros_like(Zs), zero_scalar, zero_scalar, Lq_bar, m_bar
-    Kuu_bar = _inv_chol_bwd_fused(Lk, J, Lk_bar, J_bar)
 
     # Gram pullback: K̄uu → (Z̄s, σ̄², jitter̄).  The r² recompute uses the
     # MXU identity: the PSD policy (exact broadcast distances) applies to
