@@ -35,6 +35,7 @@ from .core import (
     FunctionLikelihood,
     FunctionMean,
     GammaLikelihood,
+    NegativeBinomialLikelihood,
     GaussNewtonLikelihood,
     GaussHermite,
     GaussianLikelihood,

@@ -40,6 +40,7 @@ from .likelihoods import (
     ExponentialLikelihood,
     FunctionLikelihood,
     GammaLikelihood,
+    NegativeBinomialLikelihood,
     GaussNewtonLikelihood,
     GaussianLikelihood,
     Likelihood,

@@ -33,6 +33,7 @@ __all__ = [
     "PoissonLikelihood",
     "ExponentialLikelihood",
     "GammaLikelihood",
+    "NegativeBinomialLikelihood",
     "GaussNewtonLikelihood",
     "StudentTLikelihood",
     "FunctionLikelihood",
@@ -233,6 +234,72 @@ class GammaLikelihood(Likelihood):
     def conditional_sample(self, key, f):
         a = jnp.asarray(self.shape_param, f.dtype)
         return jax.random.gamma(key, a, f.shape, dtype=f.dtype) * jnp.exp(f)
+
+
+@pytree_dataclass
+class NegativeBinomialLikelihood(Likelihood):
+    """y | f ~ NegativeBinomial(r, p) with a logistic link — the
+    GPLikelihoods.jl ``NegativeBinomialLikelihood`` the reference reexports
+    (``src/ApproximateGPs.jl:6``).
+
+    Two parametrizations (GPLikelihoods ``NBParamSuccess``/``NBParamFailure``):
+
+    - ``param="success"`` (default): ``r`` = number of successes, success
+      probability ``p = sigmoid(f)``; y counts failures before the r-th
+      success.
+    - ``param="failure"``: ``r`` = number of failures, failure probability
+      ``sigmoid(f)`` — identical to "success" with ``f → −f``.
+
+    log p(y|f) = log C(y+r−1, y) − r·softplus(−f) − y·softplus(f) is
+    log-concave in f (∂²ll = −(r+y)·σ(f)σ(−f) ≤ 0), so plain Laplace Newton
+    applies; the Fisher information is r·σ(−f)."""
+
+    successes: jax.Array = 1.0
+    param: str = static_field(default="success")
+
+    def _signed_f(self, f):
+        if self.param == "success":
+            return f
+        if self.param == "failure":
+            return -f
+        raise ValueError(f"unknown NegativeBinomial param: {self.param!r}")
+
+    def log_prob(self, f, y):
+        y = jnp.asarray(y, f.dtype)
+        r = jnp.asarray(self.successes, f.dtype)
+        g = self._signed_f(f)
+        # log σ(g) = −softplus(−g), log σ(−g) = −softplus(g)
+        return (
+            gammaln(y + r)
+            - gammaln(r)
+            - gammaln(y + 1.0)
+            - r * jax.nn.softplus(-g)
+            - y * jax.nn.softplus(g)
+        )
+
+    def log_prob_d1_d2(self, f, y):
+        y = jnp.asarray(y, f.dtype)
+        r = jnp.asarray(self.successes, f.dtype)
+        sgn = 1.0 if self.param == "success" else -1.0
+        g = self._signed_f(f)
+        ll = jnp.sum(self.log_prob(f, y))
+        p = jax.nn.sigmoid(g)
+        q = jax.nn.sigmoid(-g)
+        d1 = sgn * (r * q - y * p)
+        d2 = -(r + y) * p * q  # sgn² = 1
+        return ll, d1, d2
+
+    def fisher_information(self, f, y):
+        r = jnp.asarray(self.successes, f.dtype)
+        return r * jax.nn.sigmoid(-self._signed_f(f))
+
+    def conditional_sample(self, key, f):
+        # Gamma–Poisson mixture: λ ~ Gamma(r, scale=(1−p)/p), y ~ Poisson(λ)
+        r = jnp.asarray(self.successes, f.dtype)
+        g = self._signed_f(f)
+        kg, kp = jax.random.split(key)
+        lam = jax.random.gamma(kg, r, f.shape, dtype=f.dtype) * jnp.exp(-g)
+        return jax.random.poisson(kp, lam)
 
 
 @pytree_dataclass

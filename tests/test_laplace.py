@@ -240,8 +240,12 @@ def test_newton_forward_mode_jvp(key):
         (agp.BernoulliLikelihood(link="probit"), lambda x: (jnp.sin(x) > 0).astype(jnp.int64)),
         (agp.PoissonLikelihood(), lambda x: jnp.round(jnp.exp(jnp.sin(x))).astype(jnp.int64)),
         (agp.ExponentialLikelihood(), lambda x: jnp.exp(0.3 * jnp.sin(x)) + 0.1),
+        (
+            agp.NegativeBinomialLikelihood(successes=3.0),
+            lambda x: jnp.round(2.0 * jnp.exp(jnp.sin(x))).astype(jnp.int64),
+        ),
     ],
-    ids=["probit", "poisson", "exponential"],
+    ids=["probit", "poisson", "exponential", "negbinom"],
 )
 def test_laplace_other_likelihoods(lik, ygen, key):
     """Laplace end-to-end for every log-concave likelihood: finite lml,

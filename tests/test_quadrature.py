@@ -91,6 +91,11 @@ def test_mc_converges_to_gh(key):
         (agp.ExponentialLikelihood(), jnp.array([0.1, 0.5, 1.0, 0.2, 2.0])),
         (agp.GammaLikelihood(shape_param=2.0), jnp.array([0.1, 0.5, 1.0, 0.2, 2.0])),
         (agp.StudentTLikelihood(df=4.0, scale=0.5), jnp.array([0.1, -0.5, 1.0, 0.0, 2.0])),
+        (agp.NegativeBinomialLikelihood(successes=3.5), jnp.array([0, 1, 3, 2, 5])),
+        (
+            agp.NegativeBinomialLikelihood(successes=2.0, param="failure"),
+            jnp.array([0, 1, 3, 2, 5]),
+        ),
     ],
     ids=lambda o: getattr(type(o), "__name__", str(o)),
 )
@@ -112,6 +117,40 @@ def test_bernoulli_logprob_values():
     p = jax.nn.sigmoid(f)
     expected = np.where(np.asarray(y) == 1, np.log(np.asarray(p)), np.log1p(-np.asarray(p)))
     np.testing.assert_allclose(lik.log_prob(f, y), expected, rtol=1e-10)
+
+
+def test_negative_binomial_against_scipy():
+    """log_prob == scipy.stats.nbinom.logpmf (success param: p = σ(f));
+    the failure parametrization is the success one at −f."""
+    from scipy import stats
+
+    r = 3.0
+    f = jnp.array([-1.5, -0.3, 0.0, 0.8, 2.1])
+    y = jnp.array([0, 2, 5, 1, 7])
+    lik = agp.NegativeBinomialLikelihood(successes=r)
+    p = np.asarray(jax.nn.sigmoid(f))
+    expected = stats.nbinom.logpmf(np.asarray(y), r, p)
+    np.testing.assert_allclose(lik.log_prob(f, y), expected, rtol=1e-9)
+    lik_fail = agp.NegativeBinomialLikelihood(successes=r, param="failure")
+    np.testing.assert_allclose(
+        lik_fail.log_prob(f, y), lik.log_prob(-f, y), rtol=1e-12
+    )
+
+
+def test_negative_binomial_fisher_and_sampling(key):
+    """Fisher r·σ(−f) == E_y[−∂²ll] (exact: ∂²ll is linear in y), and the
+    Gamma–Poisson sampler matches the NB mean r(1−p)/p."""
+    r = 4.0
+    lik = agp.NegativeBinomialLikelihood(successes=r)
+    f = jnp.array([-1.0, 0.0, 1.2])
+    mean = r * np.asarray(jax.nn.sigmoid(-f)) / np.asarray(jax.nn.sigmoid(f))
+    # E[−d2] = (r + E[y])·σ(f)σ(−f) must equal fisher_information
+    _, _, d2 = lik.log_prob_d1_d2(f, jnp.asarray(mean))
+    np.testing.assert_allclose(lik.fisher_information(f, None), -d2, rtol=1e-9)
+    fs = jnp.full((4000,), 0.5)
+    ys = lik.conditional_sample(key, fs)
+    want = r * float(jax.nn.sigmoid(-0.5) / jax.nn.sigmoid(0.5))
+    assert abs(float(ys.mean()) - want) < 0.15 * want
 
 
 def test_likelihood_conditional_samples(key):
