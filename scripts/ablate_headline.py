@@ -127,7 +127,10 @@ def gram_loss(p):
 
 # --- matmul reference ------------------------------------------------------
 def matmul_loss(p):
-    return jnp.sum(jnp.matmul(p["S"], p["K"], precision="default"))
+    # sum((S·K)²), NOT sum(S·K): plain sum-of-product factorizes into two
+    # vector reductions + a dot (Σᵢⱼ(SK)ᵢⱼ = Σₖ(Σᵢ Sᵢₖ)(Σⱼ Kₖⱼ)) and XLA
+    # rewrites the M²B matmul away — measured 0.000 ms before the square
+    return jnp.sum(jnp.square(jnp.matmul(p["S"], p["K"], precision="default")))
 
 
 if __name__ == "__main__":
