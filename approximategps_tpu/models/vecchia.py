@@ -63,9 +63,19 @@ class NearestNeighbors:
     - ``ordering``: "natural" (as given, reference behavior), "random", or
       "maximin" (greedy farthest-point, Guinness 2018 — the standard
       accuracy upgrade for spatial data);
-    - ``neighbors``: "previous" (last k in the ordering — banded, fastest)
-      or "nearest" (k nearest among all predecessors — general gather
-      indices, host-side exact search in ``native/vecchia_order.cpp``).
+    - ``neighbors``: "previous" (last k in the ordering — banded, fastest),
+      "nearest" (k nearest among all predecessors — general gather
+      indices, host-side exact search in ``native/vecchia_order.cpp``), or
+      "scaled" (KL-minimized sparsity pattern of Schäfer et al.,
+      arXiv 2004.14455: predecessors within distance ``rho``·ℓᵢ of point i,
+      where ℓᵢ is i's distance to the ordered set — the maximin distance
+      under ``ordering="maximin"``, the intended pairing.  Sets are capped
+      at the k nearest and −1-padded so device shapes stay static; the
+      resulting factor is the KL-optimal sparse inverse Cholesky on that
+      pattern, see ``test_vecchia_factor_is_kl_optimal``);
+    - ``rho``: ball-radius multiplier for ``neighbors="scaled"`` (paper
+      recipe: accuracy ε with ρ ≍ log(N/ε); ρ in 2-4 is the practical
+      sweet spot, larger = denser = more accurate).
 
     Non-default choices need concrete (non-traced) inputs at posterior
     construction: the ordering/neighbor search is host-side preprocessing;
@@ -76,6 +86,7 @@ class NearestNeighbors:
     use_pallas: bool | None = static_field(default=None)
     ordering: str = static_field(default="natural")
     neighbors: str = static_field(default="previous")
+    rho: float = static_field(default=3.0)
 
 
 def band_Ut_matmul(Uband: jax.Array, X: jax.Array) -> jax.Array:
@@ -390,7 +401,7 @@ def _posterior_nn_general(nn: NearestNeighbors, fx: FiniteGP, y: jax.Array):
     """Ordering/neighbor-generalized posterior: reorder the data host-side,
     build the gather-indexed root, return a PosteriorGP over the REORDERED
     conditioning set (predictions are ordering-invariant)."""
-    from ..native import nearest_predecessor_neighbors
+    from ..native import nearest_predecessor_neighbors, scaled_ball_predecessors
 
     Xp = as_points(fx.x)
     order = resolve_ordering(Xp, nn.ordering)
@@ -401,6 +412,9 @@ def _posterior_nn_general(nn: NearestNeighbors, fx: FiniteGP, y: jax.Array):
     if nn.neighbors == "nearest":
         Xc = _require_concrete(Xp, "neighbors='nearest'")
         nbr = jnp.asarray(nearest_predecessor_neighbors(Xc, order, nn.k))
+    elif nn.neighbors == "scaled":
+        Xc = _require_concrete(Xp, "neighbors='scaled'")
+        nbr = jnp.asarray(scaled_ball_predecessors(Xc, order, nn.rho, nn.k))
     elif nn.neighbors == "previous":
         idx = jnp.arange(Xo.shape[0])[:, None] - nn.k + jnp.arange(nn.k)[None, :]
         nbr = jnp.where(idx >= 0, idx, -1)

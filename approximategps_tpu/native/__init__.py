@@ -9,6 +9,12 @@ from .ordering import (
     maximin_ordering,
     nearest_predecessor_neighbors,
     native_available,
+    scaled_ball_predecessors,
 )
 
-__all__ = ["maximin_ordering", "nearest_predecessor_neighbors", "native_available"]
+__all__ = [
+    "maximin_ordering",
+    "nearest_predecessor_neighbors",
+    "native_available",
+    "scaled_ball_predecessors",
+]

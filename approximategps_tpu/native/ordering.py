@@ -70,6 +70,11 @@ def _load():
             c_d, ctypes.c_int64, ctypes.c_int64, c_i, ctypes.c_int64, c_i,
         ]
         lib.agp_nearest_predecessors.restype = None
+        lib.agp_scaled_predecessors.argtypes = [
+            c_d, ctypes.c_int64, ctypes.c_int64, c_i,
+            ctypes.c_double, ctypes.c_int64, c_i,
+        ]
+        lib.agp_scaled_predecessors.restype = None
         _LIB = lib
         return _LIB
 
@@ -145,6 +150,47 @@ def nearest_predecessor_neighbors(X, order, k: int) -> np.ndarray:
             continue
         d = ((Xo[:i] - Xo[i]) ** 2).sum(-1)
         got = np.sort(np.argpartition(d, m - 1)[:m])
+        nbr[i, :m] = got
+        nbr[i, m:] = -1
+    return nbr
+
+
+def scaled_ball_predecessors(X, order, rho: float, k: int) -> np.ndarray:
+    """KL-minimized sparsity pattern (Schäfer et al., arXiv 2004.14455)
+    in the fixed-k TPU layout: for each ordering position i, the predecessors
+    within distance ``rho * ell_i`` of point i, where ``ell_i`` is point i's
+    distance to the already-ordered set (the maximin distance when ``order``
+    is the maximin ordering).  Sets larger than k keep the k nearest; smaller
+    sets pad with −1.  Returns (N, k) int64 ORDERING POSITIONS, ascending.
+    Host-side/eager only."""
+    X = _as_f64_2d(X)
+    order = np.ascontiguousarray(np.asarray(order, dtype=np.int64))
+    N, D = X.shape
+    nbr = np.empty((N, int(k)), dtype=np.int64)
+    lib = _load()
+    if lib is not None:
+        lib.agp_scaled_predecessors(
+            X.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            N, D,
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            float(rho), int(k),
+            nbr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return nbr
+    # numpy fallback: identical selection rule
+    Xo = X[order]
+    rho2 = float(rho) ** 2
+    for i in range(N):
+        if i == 0:
+            nbr[i, :] = -1
+            continue
+        d = ((Xo[:i] - Xo[i]) ** 2).sum(-1)
+        r2 = rho2 * d.min()
+        cand = np.flatnonzero(d <= r2)
+        if cand.size > k:
+            cand = cand[np.argpartition(d[cand], k - 1)[:k]]
+        got = np.sort(cand)
+        m = got.size
         nbr[i, :m] = got
         nbr[i, m:] = -1
     return nbr

@@ -18,6 +18,7 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#include <limits>
 #include <queue>
 
 namespace {
@@ -104,6 +105,58 @@ void agp_nearest_predecessors(const double* X, int64_t N, int64_t D,
         // emit ascending by position (heap pops farthest-first); pad with -1
         std::vector<int64_t> got;
         got.reserve(m);
+        while (!heap.empty()) { got.push_back(heap.top().second); heap.pop(); }
+        std::sort(got.begin(), got.end());
+        for (int64_t t = 0; t < k; ++t)
+            nbr[i * k + t] = (t < static_cast<int64_t>(got.size())) ? got[t] : -1;
+    }
+}
+
+// Schäfer et al. (arXiv 2004.14455) KL-minimized sparsity pattern, adapted
+// to the fixed-k TPU gather layout: for each ordering position i, the
+// conditioning set is the predecessors within distance rho * ell_i, where
+// ell_i = min_{j<i} dist(x_i, x_j) is the distance of point i to the
+// already-ordered set (for the maximin ordering these are the maximin
+// distances, which shrink along the ordering — the multiscale pattern of
+// the paper's Theorem 3.2).  Sets larger than k keep the k nearest
+// (TPU shapes are static); smaller sets are padded with -1.
+// Two O(i) scans per point, O(N^2 D) total — same cost class as
+// agp_nearest_predecessors.
+void agp_scaled_predecessors(const double* X, int64_t N, int64_t D,
+                             const int64_t* order, double rho, int64_t k,
+                             int64_t* nbr) {
+    std::vector<double> Xo(static_cast<size_t>(N) * D);
+    for (int64_t i = 0; i < N; ++i)
+        std::memcpy(&Xo[i * D], &X[order[i] * D], sizeof(double) * D);
+
+    const double rho2 = rho * rho;
+    std::vector<double> d;  // squared distances to predecessors
+    for (int64_t i = 0; i < N; ++i) {
+        if (i == 0) {
+            for (int64_t t = 0; t < k; ++t) nbr[t] = -1;
+            continue;
+        }
+        const double* xi = &Xo[i * D];
+        d.resize(i);
+        double ell2 = std::numeric_limits<double>::infinity();
+        for (int64_t j = 0; j < i; ++j) {
+            d[j] = sqdist(xi, &Xo[j * D], D);
+            if (d[j] < ell2) ell2 = d[j];
+        }
+        const double r2 = rho2 * ell2;  // squared ball radius (rho*ell_i)^2
+        // k nearest among the in-ball candidates (max-heap of the best k)
+        std::priority_queue<std::pair<double, int64_t>> heap;
+        for (int64_t j = 0; j < i; ++j) {
+            if (d[j] > r2) continue;
+            if (static_cast<int64_t>(heap.size()) < k) {
+                heap.emplace(d[j], j);
+            } else if (k > 0 && d[j] < heap.top().first) {
+                heap.pop();
+                heap.emplace(d[j], j);
+            }
+        }
+        std::vector<int64_t> got;
+        got.reserve(heap.size());
         while (!heap.empty()) { got.push_back(heap.top().second); heap.pop(); }
         std::sort(got.begin(), got.end());
         for (int64_t t = 0; t < k; ++t)

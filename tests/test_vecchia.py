@@ -299,6 +299,74 @@ def test_maximin_nearest_beats_natural_on_shuffled_2d(key):
     assert err["random_nearest"] < 0.3 * err["natural_prev"], err
 
 
+def test_scaled_pattern_exact_at_full_pattern(key):
+    """Schäfer KL-minimized pattern (neighbors='scaled'): with k=N−1 and a
+    huge ρ every predecessor is in the ball, the factor is dense, and the
+    approximation is exact — for any ordering."""
+    x = jax.random.normal(key, (12, 2))
+    f = agp.GP(1.2 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.9))
+    y = jnp.sin(x[:, 0]) + jnp.cos(x[:, 1])
+    exact = float(f(x, 0.0).logpdf(y))
+    for ordering in ("natural", "maximin"):
+        nn = agp.NearestNeighbors(
+            k=11, ordering=ordering, neighbors="scaled", rho=1e8
+        )
+        lml = float(jax.jit(lambda y, nn=nn: agp.approx_lml(nn, f(x, 0.0), y))(y))
+        np.testing.assert_allclose(lml, exact, rtol=1e-8, err_msg=ordering)
+
+
+def test_scaled_pattern_properties_and_accuracy(key):
+    """The scaled-ball pattern (Schäfer et al. 2004.14455) selects exactly
+    the ≤k nearest predecessors within ρ·ℓᵢ, and maximin+scaled recovers the
+    same accuracy class as maximin+nearest at matched k on shuffled 2-D
+    data (both far better than previous-k-in-natural-order)."""
+    from approximategps_tpu.native import (
+        maximin_ordering,
+        scaled_ball_predecessors,
+    )
+
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (96, 2)) * 2.5
+    X = np.asarray(x)
+    order = maximin_ordering(X)
+    kcap, rho = 6, 3.0
+    nbr = scaled_ball_predecessors(X, order, rho, kcap)
+    Xo = X[order]
+    for i in (1, 5, 40, 95):
+        d = ((Xo[:i] - Xo[i]) ** 2).sum(-1)
+        r2 = rho**2 * d.min()
+        cand = np.flatnonzero(d <= r2)
+        if cand.size > kcap:
+            cand = cand[np.argpartition(d[cand], kcap - 1)[:kcap]]
+        expect = np.full(kcap, -1, dtype=np.int64)
+        expect[: cand.size] = np.sort(cand)
+        assert (nbr[i] == expect).all(), i
+    # under the maximin ordering ℓᵢ shrinks, so ball sizes stay bounded:
+    # the pattern is genuinely sparse, not everything-in-the-ball-of-ℓ₁
+    sizes = (nbr >= 0).sum(1)
+    assert sizes[1:].min() >= 1  # ρ ≥ 1 always catches the nearest point
+
+    f = agp.GP(1.5 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.7))
+    fx = f(x, 1e-8)
+    y = fx.sample(k2)
+    exact = float(fx.logpdf(y))
+
+    def err(nn):
+        return abs(
+            float(jax.jit(lambda y, nn=nn: agp.approx_lml(nn, f(x, 0.0), y))(y))
+            - exact
+        )
+
+    e_prev = err(agp.NearestNeighbors(k=kcap))
+    e_scaled = err(
+        agp.NearestNeighbors(
+            k=kcap, ordering="maximin", neighbors="scaled", rho=rho
+        )
+    )
+    # measured at this seed: prev ~100, scaled ~15 (same class as nearest)
+    assert e_scaled < 0.3 * e_prev, (e_scaled, e_prev)
+
+
 def test_general_path_rejects_traced_inputs():
     x = jnp.linspace(0, 1, 10)
     f = agp.GP(agp.SqExponentialKernel())
@@ -316,21 +384,25 @@ def test_native_ordering_matches_numpy_fallback(key):
         maximin_ordering,
         nearest_predecessor_neighbors,
         native_available,
+        scaled_ball_predecessors,
     )
 
     X = np.asarray(jax.random.normal(key, (300, 3)))
     o1 = maximin_ordering(X)
     n1 = nearest_predecessor_neighbors(X, o1, 7)
+    s1 = scaled_ball_predecessors(X, o1, 2.5, 7)
     # force the numpy fallback
     lib, tried = ord_mod._LIB, ord_mod._TRIED
     ord_mod._LIB, ord_mod._TRIED = None, True
     try:
         o2 = maximin_ordering(X)
         n2 = nearest_predecessor_neighbors(X, o1, 7)
+        s2 = scaled_ball_predecessors(X, o1, 2.5, 7)
     finally:
         ord_mod._LIB, ord_mod._TRIED = lib, tried
     assert (o1 == o2).all()
     assert (n1 == n2).all()
+    assert (s1 == s2).all()
     assert sorted(o1.tolist()) == list(range(300))
 
 
