@@ -99,6 +99,7 @@ from .models import (
     LaplacePosterior,
     NearestNeighbors,
     NonCentered,
+    predict_knn,
     SparseVariationalApproximation,
     SVGPPosterior,
     approx_lml,

@@ -40,6 +40,7 @@ from .vecchia import (
     SparseInvRoot,
     approx_root_prec_band,
     approx_root_prec_sparse,
+    predict_knn,
     resolve_ordering,
 )
 from .vfe import VFE, optimal_variational_posterior, vfe_elbo

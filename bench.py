@@ -259,6 +259,44 @@ def vecchia_build(N=1_000_000, k=32, block=8192, iters=3):
     return chained_step_ms(make_run, iters=iters)
 
 
+def vecchia_predict_knn_sweep(N=1_000_000, Ntest=1_000_000, k=32, iters=2):
+    """Vecchia serving: 1e6-train/1e6-test mean+var through predict_knn —
+    device-side blocked k-NN search + batched local-kriging band solves.
+    No (N, N*) cross-covariance ever exists (the PosteriorGP masquerade
+    path would need 4 TB for it); peak live memory is the
+    (test_block, train_block) distance tile."""
+    import approximategps_tpu as agp
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    kx, ks, ky = jax.random.split(key, 3)
+    X = jax.random.uniform(kx, (N, 2), dtype) * 1000.0
+    Xs = jax.random.uniform(ks, (Ntest, 2), dtype) * 1000.0
+    y = jax.random.normal(ky, (N,), dtype)
+    f = agp.GP(agp.with_lengthscale(agp.Matern32Kernel(), 5.0))
+    fx = f(X, 0.1)
+
+    def make_run(n):
+        @jax.jit
+        def run(y, Xs):
+            def body(c, _):
+                # tile sizes: the live (test_block, train_block) distance
+                # tile is 1 GB f32; 8192×131072 (4 GB) plus top_k's sort
+                # intermediates OOMs the 16 GB v5e worker
+                mu, var = agp.predict_knn(
+                    fx, y + c * 0, Xs, k=k,
+                    test_block=4096, train_block=65536,
+                )
+                return c + 0.0 * mu[0], jnp.sum(mu) + jnp.sum(var)
+
+            _, vals = jax.lax.scan(body, jnp.zeros((), dtype), None, length=n)
+            return vals[-1]
+
+        return lambda: run(y, Xs)
+
+    return chained_step_ms(make_run, iters=iters)
+
+
 def laplace_cg_mode(N=20000, iters=2):
     """Matrix-free Laplace mode-finding at a size where the dense path needs
     a 1.6 GB gram + an O(N^3) Cholesky per Newton step.  Round-3 fast-solve
@@ -569,6 +607,10 @@ def main():
             ("svgp_predict_mean_var_sweep_ms(Ntest=1e6,M=2048)", svgp_predict_sweep),
             ("natgrad_adam_hybrid_step_ms(N=1e6,M=2048,B=8192)", natgrad_hybrid),
             ("vecchia_band_build_ms(N=1e6,k=32)", vecchia_build),
+            (
+                "vecchia_predict_knn_sweep_ms(N=1e6,Ntest=1e6,k=32)",
+                vecchia_predict_knn_sweep,
+            ),
             ("block_vecchia_lml_ms(N=1e6,b=64,k=64)", block_vecchia_lml),
             ("laplace_newton_lml_grad_ms(N=5000)", laplace_n5k),
             ("laplace_cg_newton_mode_ms(N=2e4,K-resident+precond)", laplace_cg_mode),

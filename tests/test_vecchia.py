@@ -367,6 +367,52 @@ def test_scaled_pattern_properties_and_accuracy(key):
     assert e_scaled < 0.3 * e_prev, (e_scaled, e_prev)
 
 
+def test_knn_search_matches_bruteforce(key):
+    """Device-side blocked k-NN (ops/knn.py): blocked scan+merge finds the
+    same neighbor sets as a dense argsort, across uneven block splits."""
+    from approximategps_tpu.ops.knn import knn_search
+
+    k1, k2 = jax.random.split(key)
+    X = jax.random.normal(k1, (150, 3))
+    Xs = jax.random.normal(k2, (37, 3))
+    idx, d2 = jax.jit(
+        lambda a, b: knn_search(a, b, 5, train_block=64, test_block=16)
+    )(X, Xs)
+    D = np.asarray(
+        ((np.asarray(Xs)[:, None, :] - np.asarray(X)[None, :, :]) ** 2).sum(-1)
+    )
+    ref = np.argsort(D, axis=1)[:, :5]
+    assert np.array_equal(np.sort(np.asarray(idx), 1), np.sort(ref, 1))
+    np.testing.assert_allclose(np.asarray(d2), np.sort(D, 1)[:, :5], atol=1e-9)
+
+
+def test_predict_knn_exact_at_full_k_and_approx(key):
+    """Vecchia serving (predict_knn): conditioning on ALL observations (k=N)
+    reproduces the exact GP posterior mean/var — for scalar AND per-point
+    noise, and for both band-op compile paths (k≤48 unrolled, k>48
+    fori_loop).  Small k approximates."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    X = jax.random.normal(k1, (60, 2))
+    Xs = jax.random.normal(k2, (23, 2))
+    f = agp.GP(1.3 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.8))
+    y = jnp.sin(X[:, 0]) + 0.1 * jax.random.normal(k3, (60,))
+    fx = f(X, 0.05)
+    mu_e, var_e = agp.posterior(fx, y).mean_and_var(Xs)
+    # k=N (=60 > 48: fori_loop band path), scalar noise
+    mu, var = jax.jit(lambda y: agp.predict_knn(fx, y, Xs, k=60, test_block=16))(y)
+    np.testing.assert_allclose(mu, mu_e, atol=1e-8)
+    np.testing.assert_allclose(var, var_e, atol=1e-8)
+    # per-point noise vector, same answer
+    fx2 = f(X, jnp.full(60, 0.05))
+    mu2, var2 = jax.jit(lambda y: agp.predict_knn(fx2, y, Xs, k=60))(y)
+    np.testing.assert_allclose(mu2, mu_e, atol=1e-8)
+    np.testing.assert_allclose(var2, var_e, atol=1e-8)
+    # k=30 (unrolled band path): close but not exact
+    mu30, var30 = jax.jit(lambda y: agp.predict_knn(fx, y, Xs, k=30))(y)
+    assert float(jnp.abs(mu30 - mu_e).max()) < 0.2
+    assert float(jnp.abs(var30 - var_e).max()) < 0.05
+
+
 def test_general_path_rejects_traced_inputs():
     x = jnp.linspace(0, 1, 10)
     f = agp.GP(agp.SqExponentialKernel())
