@@ -91,6 +91,16 @@ from .models import (
     sample_svgp_functions,
     dp_streaming_elbo,
     streaming_elbo,
+    GaussianSiteState,
+    OnlineSVGPState,
+    online_elbo,
+    online_optimal_q,
+    online_state,
+    site_posterior_q,
+    site_state,
+    site_update,
+    loo_logpdf,
+    loo_mean_and_var,
     newton_inner_loop_jvp,
     BandInvRoot,
     SparseInvRoot,

@@ -1,9 +1,20 @@
-from . import api, block_vecchia, iterative, laplace, laplace_cg, multi_latent, sampling, svgp, svgp_streaming, vecchia, vfe
+from . import api, block_vecchia, crossval, iterative, laplace, laplace_cg, multi_latent, sampling, svgp, svgp_online, svgp_streaming, vecchia, vfe
+from .crossval import loo_logpdf, loo_mean_and_var
 from .iterative import (cg_solve, logpdf_slq, posterior_cg,
                         msqrt_matvec, sample_prior_msqrt,
                         sample_posterior_msqrt)
 from .sampling import rff_features, sample_posterior_functions_cg, sample_svgp_functions
 from .svgp_streaming import dp_streaming_elbo, streaming_elbo
+from .svgp_online import (
+    GaussianSiteState,
+    OnlineSVGPState,
+    online_elbo,
+    online_optimal_q,
+    online_state,
+    site_posterior_q,
+    site_state,
+    site_update,
+)
 from .api import approx_lml, posterior
 from .laplace_cg import (
     LaplaceCG,

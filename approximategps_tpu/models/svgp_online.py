@@ -1,0 +1,275 @@
+"""Streaming / online sparse variational GP updates (Bui, Nguyen & Turner,
+"Streaming sparse Gaussian process approximations", NeurIPS 2017,
+arXiv:1705.07131).
+
+Beyond-reference capability: the reference's SVGP
+(``/root/reference/src/SparseVariationalApproximationModule.jl``) is batch-only
+— revisiting all data on every hyperparameter change.  This module adds the
+standard streaming recipe: when a new data batch arrives, the *old* variational
+posterior ``q_old(u_old)`` (at old inducing sites, under old hyperparameters)
+acts as a surrogate for all past data, contributing an analytic Gaussian
+correction term to the new batch's ELBO.  Inducing points and hyperparameters
+may both move between rounds.
+
+The online bound for new variational posterior ``q(a)`` at sites ``a`` is
+
+    F = Σᵢ E_{q(fᵢ)}[log p(yᵢ|fᵢ)] − KL(q(a) ‖ p_new(a))
+        + E_{q(b)}[log q_old(b)] − E_{q(b)}[log p_old(b)]
+
+where ``b = f(z_old)`` and ``q(b) = ∫ p_new(b|a) q(a) da`` is the *new*
+posterior's marginal at the *old* sites.  Both expectation terms are analytic
+Gaussian cross-entropies, so the whole bound is a handful of M×M solves on top
+of the existing ``elbo`` — every heavy op rides the same MXU paths
+(``safe_cholesky`` / triangular solves / Gram matmuls) as batch SVGP, and the
+bound jits and differentiates through all hyperparameters.
+
+For Gaussian likelihood the per-round optimum is closed-form in natural
+parameters (``online_optimal_q``): the old posterior contributes the site
+precision ``D_old = S_old⁻¹ − K_old⁻¹`` exactly as EP-style streaming GP
+regression.  With fixed inducing sites and hyperparameters the sequential
+updates telescope to the full-batch Titsias optimum
+(pinned by ``tests/test_svgp_online.py``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core import linalg
+from ..core.distributions import MultivariateNormal
+from ..core.gp import FiniteGP, LatentFiniteGP
+from ..core.means import ZeroMean
+from ..core.pytrees import pytree_dataclass
+from .svgp import (
+    Centered,
+    SparseVariationalApproximation,
+    elbo,
+)
+
+__all__ = [
+    "OnlineSVGPState",
+    "GaussianSiteState",
+    "centered_q",
+    "online_state",
+    "online_elbo",
+    "online_optimal_q",
+    "site_state",
+    "site_update",
+    "site_posterior_q",
+]
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+def centered_q(sva: SparseVariationalApproximation) -> MultivariateNormal:
+    """The variational posterior in f-space (at the inducing sites).
+
+    ``Centered`` stores it directly; ``NonCentered`` stores the whitened
+    ε-space distribution, so map through the prior factor:
+    m_f = μ(z) + Lk m_ε and L_f = Lk L_ε (a product of lower-triangular
+    factors with positive diagonals is itself a valid scale_tril)."""
+    if isinstance(sva.parametrization, Centered):
+        return sva.q
+    Lk = sva.fz.scale_tril()
+    m = sva.fz.mean() + Lk @ sva.q.mean
+    return MultivariateNormal(m, Lk @ sva.q.scale_tril)
+
+
+@pytree_dataclass
+class OnlineSVGPState:
+    """Snapshot of a fitted round: the old inducing prior ``fz_old``
+    (old sites AND old hyperparameters — ``p_old(b)``) and the old
+    variational posterior ``q_old(b)`` in f-space."""
+
+    fz: FiniteGP
+    q: MultivariateNormal
+
+
+def online_state(sva: SparseVariationalApproximation) -> OnlineSVGPState:
+    """Freeze a fitted approximation into the state carried to the next
+    round.  Works for both parametrizations."""
+    return OnlineSVGPState(sva.fz, centered_q(sva))
+
+
+def _projected_marginal(
+    sva: SparseVariationalApproximation, b: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """(μ_b, Σ_b) of q(b) = ∫ p_new(b|a) q(a) da at the old sites ``b``:
+    μ_b = μ(b) + A (m_a − μ(a)), Σ_b = K_bb − K_ba K_aa⁻¹ K_ab + A S_a Aᵀ
+    with A = K_ba K_aa⁻¹ (all under the NEW prior)."""
+    fz = sva.fz
+    q_a = centered_q(sva)
+    Lk = fz.scale_tril()
+    Kab = fz.f.cov(fz.x, b)
+    V = linalg.solve_lower_triangular(Lk, Kab)  # Lk⁻¹ K_ab; Q_bb = VᵀV
+    # A x = K_ba K_aa⁻¹ x = Vᵀ (Lk⁻¹ x)
+    mu_b = fz.f.mean(b) + V.T @ linalg.solve_lower_triangular(
+        Lk, q_a.mean - fz.mean()
+    )
+    # Φ_b = K_aa⁻¹ K_ab = Lk⁻ᵀ V;  Φ_bᵀ S_a Φ_b = UᵀU with U = L_Sᵀ (Lk⁻ᵀ V)
+    U = q_a.scale_tril.T @ linalg.solve_upper_triangular(Lk.T, V)
+    Sigma_b = fz.f.cov(b) - V.T @ V + U.T @ U
+    return mu_b, Sigma_b
+
+
+def _old_correction(
+    sva: SparseVariationalApproximation, state: OnlineSVGPState
+) -> jax.Array:
+    """E_{q(b)}[log q_old(b)] − E_{q(b)}[log p_old(b)] — the analytic
+    surrogate for all past data.  For q(b) = N(μ_b, Σ_b):
+    E[log N(b; m, S)] = log N(μ_b; m, S) − tr(S⁻¹ Σ_b)/2."""
+    mu_b, Sigma_b = _projected_marginal(sva, state.fz.x)
+    q_old, fz_old = state.q, state.fz
+    L_S = q_old.scale_tril
+    L_K = fz_old.scale_tril()
+    r_q = linalg.solve_lower_triangular(L_S, mu_b - q_old.mean)
+    r_p = linalg.solve_lower_triangular(L_K, mu_b - fz_old.mean())
+    tr_q = jnp.trace(linalg.cholesky_solve(L_S, Sigma_b))
+    tr_p = jnp.trace(linalg.cholesky_solve(L_K, Sigma_b))
+    # the Mb·log2π constants cancel between the two cross-entropies
+    e_logq = -0.5 * (linalg.chol_logdet(L_S) + r_q @ r_q + tr_q)
+    e_logp = -0.5 * (linalg.chol_logdet(L_K) + r_p @ r_p + tr_p)
+    return e_logq - e_logp
+
+
+def online_elbo(
+    sva: SparseVariationalApproximation,
+    state: OnlineSVGPState,
+    lfx: LatentFiniteGP | FiniteGP,
+    y: jax.Array,
+    num_data: int | None = None,
+    quadrature=None,
+) -> jax.Array:
+    """Online evidence lower bound for the NEW batch given the old-round
+    state (arXiv:1705.07131 eq. 12, uncollapsed form).
+
+    Equals ``elbo(sva, lfx, y) + correction``; when the old posterior equals
+    the old prior the correction vanishes and this reduces exactly to the
+    batch ELBO.  ``num_data`` minibatch-scales the data term *within* the
+    current round (scale = num_data / n_batch), matching the reference's
+    minibatch semantics (``SparseVariationalApproximationModule.jl:357-359``)
+    — past rounds are already accounted for by the correction, never
+    rescaled."""
+    base = elbo(sva, lfx, y, num_data=num_data, quadrature=quadrature)
+    return base + _old_correction(sva, state)
+
+
+def online_optimal_q(
+    state: OnlineSVGPState,
+    fz_new: FiniteGP,
+    fx: FiniteGP,
+    y: jax.Array,
+) -> MultivariateNormal:
+    """Closed-form optimal q(a) of the online bound for Gaussian likelihood
+    (the streaming analogue of ``vfe.optimal_variational_posterior``).
+
+    In natural parameters the old posterior contributes the site precision
+    D_old = S_old⁻¹ − K_old⁻¹ and site shift e_old = S_old⁻¹ m_old at the old
+    sites b, so with Φ_x = K_aa⁻¹K_ax, Φ_b = K_aa⁻¹K_ab (new kernel):
+
+        S⁻¹ = K_aa⁻¹ + σ⁻² Φ_x Φ_xᵀ + Φ_b D_old Φ_bᵀ
+        S⁻¹ m = σ⁻² Φ_x y + Φ_b e_old
+
+    evaluated in the whitened basis (C = I + σ⁻² Ṽ_x Ṽ_xᵀ + Ṽ_b D_old Ṽ_bᵀ
+    with Ṽ = Lk⁻¹K; S = Lk C⁻¹ Lkᵀ) so the solve conditioning matches the
+    batch path.  Requires a zero-mean prior (like the batch closed form,
+    reference ``test/test_utils.jl:7-17``) and isotropic noise."""
+    mean_fn = getattr(fz_new.f, "mean_fn", None)
+    if mean_fn is not None and not isinstance(mean_fn, ZeroMean):
+        raise ValueError("online_optimal_q requires a GP with ZeroMean.")
+    if not fx.is_isotropic_noise:
+        raise ValueError("online_optimal_q requires isotropic noise")
+    s2 = jnp.asarray(fx.noise)
+    Lk = fz_new.scale_tril()
+    Vx = linalg.solve_lower_triangular(Lk, fz_new.f.cov(fz_new.x, fx.x))
+    Vb = linalg.solve_lower_triangular(Lk, fz_new.f.cov(fz_new.x, state.fz.x))
+
+    # Ṽ_b D_old Ṽ_bᵀ = G_sᵀG_s − G_kᵀG_k with G = L⁻¹ Ṽ_bᵀ — triangular
+    # solves only, no explicit M×M inverses (f32/TPU stability: the
+    # inverse-difference form NaNs safe_cholesky at cond(K) ≳ 1e6)
+    L_S_old = state.q.scale_tril
+    L_K_old = state.fz.scale_tril()
+    Gs = linalg.solve_lower_triangular(L_S_old, Vb.T)
+    Gk = linalg.solve_lower_triangular(L_K_old, Vb.T)
+
+    Ma = Lk.shape[0]
+    C = jnp.eye(Ma, dtype=Lk.dtype) + (Vx @ Vx.T) / s2 + Gs.T @ Gs - Gk.T @ Gk
+    C = 0.5 * (C + C.T)
+    C_L = linalg.safe_cholesky(C)
+    # Ṽ_b e_old = G_sᵀ (L_S⁻¹ m_old)
+    rhs = Vx @ y / s2 + Gs.T @ linalg.solve_lower_triangular(L_S_old, state.q.mean)
+    m = Lk @ linalg.cholesky_solve(C_L, rhs)
+    # S = (Lk C_L⁻ᵀ)(Lk C_L⁻ᵀ)ᵀ — not triangular, so refactor once at M×M
+    W = linalg.solve_lower_triangular(C_L, Lk.T).T
+    S = W @ W.T
+    return MultivariateNormal(m, linalg.safe_cholesky(S))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-site fast path: whitened natural-parameter site accumulation
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class GaussianSiteState:
+    """Accumulated Gaussian likelihood sites in the whitened inducing basis,
+    for streams where the inducing sites AND hyperparameters stay fixed.
+
+    ``online_optimal_q`` is the general update (sites/hypers may move), but
+    it must *recover* the old sites as D_old = S_old⁻¹ − K_old⁻¹ — a
+    subtraction whose f32 roundoff grows as the posterior tightens (measured
+    ~1e-1 posterior-mean drift after 6 rounds at N=3000 on TPU f32).  With
+    fixed sites the telescoping is just addition in natural parameters, so
+    accumulate them directly and never subtract:
+
+        lam += Ṽ_x Ṽ_xᵀ / σ²,   eta += Ṽ_x y / σ²,   Ṽ_x = Lk⁻¹ K_zx
+
+    lam is PSD and only grows — the per-round cost is one (M, B) Gram + one
+    rank-B MXU update; the M×M Cholesky happens only in
+    ``site_posterior_q``.  Measured on TPU f32: stream == full refit to
+    ~1e-5 where the general path drifts to ~1e-1."""
+
+    fz: FiniteGP
+    lam: jax.Array
+    eta: jax.Array
+
+
+def site_state(fz: FiniteGP) -> GaussianSiteState:
+    """Empty accumulator for a stream anchored at ``fz`` (zero-mean prior)."""
+    mean_fn = getattr(fz.f, "mean_fn", None)
+    if mean_fn is not None and not isinstance(mean_fn, ZeroMean):
+        raise ValueError("site_state requires a GP with ZeroMean.")
+    M = fz.x.shape[0]
+    dtype = jnp.result_type(fz.x)
+    return GaussianSiteState(fz, jnp.zeros((M, M), dtype), jnp.zeros((M,), dtype))
+
+
+def site_update(
+    state: GaussianSiteState, fx: FiniteGP, y: jax.Array
+) -> GaussianSiteState:
+    """Absorb one Gaussian batch (exact, order-independent)."""
+    if not fx.is_isotropic_noise:
+        raise ValueError("site_update requires isotropic noise")
+    s2 = jnp.asarray(fx.noise)
+    fz = state.fz
+    Lk = fz.scale_tril()
+    Vx = linalg.solve_lower_triangular(Lk, fz.f.cov(fz.x, fx.x))
+    lam = state.lam + (Vx @ Vx.T) / s2
+    eta = state.eta + Vx @ y / s2
+    return GaussianSiteState(fz, lam, eta)
+
+
+def site_posterior_q(state: GaussianSiteState) -> MultivariateNormal:
+    """The optimal q(u) given every batch absorbed so far — identical to the
+    full-batch Titsias optimum on the concatenated data (C = I + lam in the
+    whitened basis; S = Lk C⁻¹ Lkᵀ, m = Lk C⁻¹ eta)."""
+    Lk = state.fz.scale_tril()
+    Ma = Lk.shape[0]
+    C = jnp.eye(Ma, dtype=Lk.dtype) + 0.5 * (state.lam + state.lam.T)
+    C_L = linalg.safe_cholesky(C)
+    m = Lk @ linalg.cholesky_solve(C_L, state.eta)
+    W = linalg.solve_lower_triangular(C_L, Lk.T).T
+    return MultivariateNormal(m, linalg.safe_cholesky(W @ W.T))
