@@ -157,6 +157,18 @@ def online_elbo(
     return base + _old_correction(sva, state)
 
 
+def _require_zero_mean(f, what: str) -> None:
+    """Reject non-zero prior means.  A missing ``mean_fn`` attribute means
+    the prior is not a plain :class:`~approximategps_tpu.core.gp.GP` — its
+    mean is unverifiable, so it is rejected rather than silently accepted
+    (the natural-parameter updates below omit the prior-mean shift terms,
+    e.g. e_old would need a −K_old⁻¹μ_old correction)."""
+    _missing = object()
+    mean_fn = getattr(f, "mean_fn", _missing)
+    if mean_fn is _missing or not isinstance(mean_fn, ZeroMean):
+        raise ValueError(f"{what} requires a GP with ZeroMean.")
+
+
 def online_optimal_q(
     state: OnlineSVGPState,
     fz_new: FiniteGP,
@@ -177,9 +189,11 @@ def online_optimal_q(
     with Ṽ = Lk⁻¹K; S = Lk C⁻¹ Lkᵀ) so the solve conditioning matches the
     batch path.  Requires a zero-mean prior (like the batch closed form,
     reference ``test/test_utils.jl:7-17``) and isotropic noise."""
-    mean_fn = getattr(fz_new.f, "mean_fn", None)
-    if mean_fn is not None and not isinstance(mean_fn, ZeroMean):
-        raise ValueError("online_optimal_q requires a GP with ZeroMean.")
+    _require_zero_mean(fz_new.f, "online_optimal_q")
+    # the carried state must be zero-mean too: the update recovers the old
+    # sites as D_old = S_old⁻¹ − K_old⁻¹ / e_old = S_old⁻¹ m_old, which drops
+    # the −K_old⁻¹ μ_old shift a non-zero-mean old prior would require
+    _require_zero_mean(state.fz.f, "online_optimal_q (carried state.fz)")
     if not fx.is_isotropic_noise:
         raise ValueError("online_optimal_q requires isotropic noise")
     s2 = jnp.asarray(fx.noise)
@@ -239,9 +253,7 @@ class GaussianSiteState:
 
 def site_state(fz: FiniteGP) -> GaussianSiteState:
     """Empty accumulator for a stream anchored at ``fz`` (zero-mean prior)."""
-    mean_fn = getattr(fz.f, "mean_fn", None)
-    if mean_fn is not None and not isinstance(mean_fn, ZeroMean):
-        raise ValueError("site_state requires a GP with ZeroMean.")
+    _require_zero_mean(fz.f, "site_state")
     M = fz.x.shape[0]
     dtype = jnp.result_type(fz.x)
     return GaussianSiteState(fz, jnp.zeros((M, M), dtype), jnp.zeros((M,), dtype))

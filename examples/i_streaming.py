@@ -31,6 +31,10 @@ import approximategps_tpu as agp
 
 def main(N=3000, M=32, rounds=6, seed=0):
     dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    # resolve to the EFFECTIVE dtype: on CPU without jax_enable_x64 a
+    # requested f64 silently computes in f32, and the jitter below must key
+    # off what actually runs (f32 at jitter 1e-10 trips the 1e-3 assert)
+    dtype = jnp.empty((), dtype).dtype
     noise = 0.05
 
     rng = np.random.default_rng(seed)
