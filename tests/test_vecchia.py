@@ -529,3 +529,54 @@ def test_vecchia_factor_is_kl_optimal(key):
         dd = jax.random.normal(jax.random.fold_in(key, 10 + s), root.diag.shape)
         kl1 = kl_full(root.coeff + 1e-3 * dc * pad_mask, root.diag + 1e-3 * dd)
         assert float(kl1) > float(kl0)
+
+
+def test_sparse_root_pallas_matches_xla(key):
+    """VERDICT r3 item 1: the gathered (generalized-neighbor) precision root
+    on the fused Pallas lanes kernel equals the XLA batched path — band
+    values AND hyperparameter gradients — so the accuracy-best
+    maximin/nearest/scaled configs can ride the fast tier."""
+    from approximategps_tpu.models.vecchia import approx_root_prec_sparse
+    from approximategps_tpu.native import (
+        maximin_ordering,
+        nearest_predecessor_neighbors,
+    )
+
+    x = jax.random.normal(key, (83, 2)) * 2.0
+    X = np.asarray(x)
+    order = maximin_ordering(X)
+    nbr = jnp.asarray(nearest_predecessor_neighbors(X, order, 7))
+    Xo = jnp.asarray(X[order])
+
+    def lml_proxy(theta, use_pallas):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.SqExponentialKernel(), jax.nn.softplus(theta[1])
+        )
+        rep = approx_root_prec_sparse(Xo, nbr, kern, use_pallas=use_pallas)
+        return (
+            jnp.sum(jnp.log(rep.diag))
+            + 0.01 * jnp.sum(rep.coeff**2)
+            + 0.01 * jnp.sum(rep.diag**2)
+        )
+
+    theta = jnp.array([0.6, 0.9])
+    v1, g1 = jax.jit(jax.value_and_grad(lml_proxy), static_argnums=1)(theta, False)
+    v2, g2 = jax.jit(jax.value_and_grad(lml_proxy), static_argnums=1)(theta, True)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-6)
+
+    # posterior-level dispatch: forced-Pallas == forced-XLA on the
+    # maximin+scaled (Schäfer) configuration, prediction included
+    f = agp.GP(1.3 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.8))
+    y = jnp.sin(x[:, 0]) + jnp.cos(x[:, 1])
+    xs = jax.random.normal(jax.random.fold_in(key, 7), (9, 2))
+    out = {}
+    for up in (False, True):
+        nn = agp.NearestNeighbors(
+            k=7, ordering="maximin", neighbors="scaled", rho=3.0, use_pallas=up
+        )
+        lml = float(jax.jit(lambda y, nn=nn: agp.approx_lml(nn, f(x, 0.0), y))(y))
+        mu = jax.jit(lambda y, nn=nn: agp.posterior(nn, f(x, 0.0), y).mean(xs))(y)
+        out[up] = (lml, np.asarray(mu))
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-9)
+    np.testing.assert_allclose(out[True][1], out[False][1], rtol=1e-7, atol=1e-10)
