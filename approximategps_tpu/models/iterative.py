@@ -449,6 +449,44 @@ def sample_posterior_msqrt(
     return fS + jnp.matmul(V.T, Ksx, precision="highest")
 
 
+def _precond_sqrt_ops(Lk: jax.Array, sigma2):
+    """Closed-form ``P^{±1/2}`` applications and exact ``logdet P`` for the
+    Woodbury preconditioner P = σ²I + Lk Lkᵀ (Lk an (N, r) pivoted-Cholesky
+    factor, possibly with zero columns from the relative pivot floor).
+
+    Thin spectral form via the r×r Gram: LkᵀLk = V D Vᵀ gives orthonormal
+    U = Lk V D^{−1/2} with P = σ²I + U D Uᵀ, so
+
+        P^{±1/2} = σ^{±1} I + U diag((σ² + D)^{±1/2} − σ^{±1}) Uᵀ
+        logdet P = N log σ² + Σ_live log1p(D_i / σ²)
+
+    — one (N, r) matmul pair per apply, everything else r×r.  Numerically
+    dead columns (D at eps-level) are masked to exact identity directions."""
+    N, r = Lk.shape
+    G = jnp.matmul(Lk.T, Lk, precision="highest")
+    D, V = jnp.linalg.eigh(G)
+    D = jnp.maximum(D, 0.0)
+    live = D > (r * jnp.finfo(Lk.dtype).eps * jnp.maximum(jnp.max(D), 1.0))
+    Dsafe = jnp.where(live, D, 1.0)
+    U = jnp.matmul(Lk, V, precision="highest") / jnp.sqrt(Dsafe)
+    U = U * live[None, :].astype(Lk.dtype)
+    s2 = jnp.asarray(sigma2, Lk.dtype)
+    lam = s2 + jnp.where(live, D, 0.0)  # eigenvalues of P on span(U)
+
+    def apply_half(v, sign):
+        scale = lam ** (0.5 * sign) - s2 ** (0.5 * sign)
+        w = jnp.matmul(U.T, v, precision="highest")
+        return s2 ** (0.5 * sign) * v + jnp.matmul(
+            U, scale * w if v.ndim == 1 else scale[:, None] * w,
+            precision="highest",
+        )
+
+    logdetP = N * jnp.log(s2) + jnp.sum(
+        jnp.where(live, jnp.log1p(D / s2), 0.0)
+    )
+    return apply_half, logdetP
+
+
 def logpdf_slq(
     fx: FiniteGP,
     y: jax.Array,
@@ -461,6 +499,7 @@ def logpdf_slq(
     reorth: bool = False,
     precond_rank: int = 0,
     precond_Lk: jax.Array | None = None,
+    precond_logdet: bool = True,
 ) -> jax.Array:
     """Exact log marginal likelihood with the logdet estimated by stochastic
     Lanczos quadrature: logdet(A) ≈ (N/P) Σ_p eᵀ₁ f(T_p) e₁ with f = log on
@@ -479,13 +518,26 @@ def logpdf_slq(
 
     ``precond_rank > 0`` preconditions the CG solves (the α solve and the
     backward's P-probe block solve) with the pivoted-Cholesky/Woodbury
-    form — the Lanczos logdet recursion itself stays unpreconditioned
-    (preconditioned logdet needs a log det M correction; the solves are
-    where the iteration count hurts).  ``precond_Lk`` passes a CARRIED
-    factor instead (e.g. one refreshed on a schedule during hyperopt —
-    :func:`~approximategps_tpu.utils.training.make_slq_hyperopt_step`):
-    a stale preconditioner is solution-invariant, it only costs CG
-    iterations, so the factor is treated as a constant (zero cotangent)."""
+    form, AND (``precond_logdet=True``, the default) the logdet itself via
+    the exact split
+
+        logdet K̂ = logdet P + tr log(P^{−1/2} K̂ P^{−1/2}),
+
+    with logdet P in closed form (:func:`_precond_sqrt_ops`) and SLQ run on
+    the preconditioned operator C = P^{−1/2} K̂ P^{−1/2}.  The identity is
+    exact for ANY SPD P; a good P absorbs the top of the spectrum so
+    cond(C) ≈ λ_{r+1}(K)/σ² — this is what rescues f32 past cond ≈ 1e7,
+    where raw SLQ integrates matvec-noise eigenvalues (the measured dtype
+    floor, BENCH_NOTES; envelope pinned by
+    ``test_slq_logdet_high_condition_envelope``).  Set
+    ``precond_logdet=False`` for the raw-operator quadrature.
+
+    ``precond_Lk`` passes a CARRIED factor instead (e.g. one refreshed on a
+    schedule during hyperopt —
+    :func:`~approximategps_tpu.utils.training.make_slq_hyperopt_step`): a
+    stale preconditioner is solution-invariant for the solves and the
+    logdet split stays EXACT for any SPD P (staleness only worsens
+    cond(C)), so the factor is treated as a constant (zero cotangent)."""
     n = len(fx)
     dtype = jnp.result_type(y, jnp.float32)
     probes = (
@@ -499,8 +551,8 @@ def logpdf_slq(
     if Lk is not None:
         Lk = jax.lax.stop_gradient(Lk)
     return _logpdf_slq_core(
-        lanczos_iters, cg_tol, cg_maxiter, block_size, bool(reorth), fx, y,
-        probes, Lk
+        lanczos_iters, cg_tol, cg_maxiter, block_size, bool(reorth),
+        bool(precond_logdet), fx, y, probes, Lk
     )
 
 
@@ -512,9 +564,9 @@ def _slq_minv(Lk, noise):
     return woodbury_preconditioner(Lk, noise)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
-                     fx, y,
+                     precond_logdet, fx, y,
                      probes, Lk=None):
     n = len(fx)
     matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
@@ -523,23 +575,40 @@ def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
                      M_inv=_slq_minv(Lk, fx.noise))
     quad = delta @ alpha
 
+    # preconditioned quadrature: SLQ runs on C = P^{−1/2} K̂ P^{−1/2}
+    # (well-conditioned) and the exact logdet P is added back
+    logdet0 = jnp.asarray(0.0, probes.dtype)
+    quad_mv = matvec
+    # raw operator: Ritz values are only garbage below hard zero
+    ritz_floor = 1e-30
+    if precond_logdet and Lk is not None:
+        apply_half, logdetP = _precond_sqrt_ops(Lk, jnp.asarray(fx.noise))
+        quad_mv = lambda v: apply_half(matvec(apply_half(v, -1)), -1)
+        logdet0 = logdetP
+        # C ⪰ I EXACTLY (the pivoted-Cholesky residual K − LLᵀ is PSD, so
+        # K̂ ⪰ P): any Ritz value below 1 is f32 recurrence/matvec noise,
+        # and log-clamping it at 1e-30 would inject −69·τ·n-scale garbage
+        # (measured: −78k vs the true tr log C ≈ +29 at cond 1e8) — clamp
+        # at the provable spectral floor instead
+        ritz_floor = 1.0
+
     def probe_logdet(v):
-        alphas, betas = _lanczos(matvec, v, lanczos_iters, reorth=reorth)
+        alphas, betas = _lanczos(quad_mv, v, lanczos_iters, reorth=reorth)
         T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
         evals, evecs = jnp.linalg.eigh(T)
-        evals = jnp.maximum(evals, 1e-30)
+        evals = jnp.maximum(evals, ritz_floor)
         tau = evecs[0, :] ** 2
         return jnp.sum(tau * jnp.log(evals)) * n
 
-    logdet = jnp.mean(jax.vmap(probe_logdet)(probes))
+    logdet = logdet0 + jnp.mean(jax.vmap(probe_logdet)(probes))
     return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
 
 def _logpdf_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
-                    fx, y,
+                    precond_logdet, fx, y,
                     probes, Lk=None):
     val = _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                           reorth,
+                           reorth, precond_logdet,
                            fx, y, probes, Lk)
     # alpha is recomputed in the backward (one CG) so the forward stores
     # only the inputs — keeps remat/scan memory flat
@@ -547,7 +616,7 @@ def _logpdf_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
 
 
 def _logpdf_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
-                    res, ct):
+                    precond_logdet, res, ct):
     fx, y, probes, Lk = res
     matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
     M_inv = _slq_minv(Lk, fx.noise)

