@@ -21,66 +21,71 @@ import optax
 import approximategps_tpu as agp
 from approximategps_tpu.models.multi_latent import multi_latent_elbo
 
-N, M, STEPS = 2000, 32, 1500
-key = jax.random.PRNGKey(0)
-k1, k2 = jax.random.split(key)
 
-dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
-x = jnp.linspace(-3.0, 3.0, N, dtype=dtype)
-true_sd = 0.05 + 0.75 * (x - x.min()) / (x.max() - x.min())
-y = jnp.sin(x) + true_sd * jax.random.normal(k1, (N,), dtype=dtype)
-z = jnp.linspace(-3.0, 3.0, M, dtype=dtype)
+def main(N=2000, M=32, steps=1500, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, _ = jax.random.split(key)
 
+    dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    x = jnp.linspace(-3.0, 3.0, N, dtype=dtype)
+    true_sd = 0.05 + 0.75 * (x - x.min()) / (x.max() - x.min())
+    y = jnp.sin(x) + true_sd * jax.random.normal(k1, (N,), dtype=dtype)
+    z = jnp.linspace(-3.0, 3.0, M, dtype=dtype)
 
-def build(params):
-    svas = []
-    for tag in ("m", "v"):
-        f = agp.GP(
-            jax.nn.softplus(params[f"k_{tag}"][0])
-            * agp.with_lengthscale(
-                agp.SqExponentialKernel(), jax.nn.softplus(params[f"k_{tag}"][1])
+    def build(params):
+        svas = []
+        for tag in ("m", "v"):
+            f = agp.GP(
+                jax.nn.softplus(params[f"k_{tag}"][0])
+                * agp.with_lengthscale(
+                    agp.SqExponentialKernel(), jax.nn.softplus(params[f"k_{tag}"][1])
+                )
             )
-        )
-        q = agp.MultivariateNormal(params[f"m_{tag}"], jnp.tril(params[f"A_{tag}"]))
-        svas.append(agp.SparseVariationalApproximation(f(z, 1e-4), q))
-    return agp.MultiLatentSVGP(tuple(svas), agp.HeteroscedasticGaussianLikelihood())
+            q = agp.MultivariateNormal(params[f"m_{tag}"], jnp.tril(params[f"A_{tag}"]))
+            svas.append(agp.SparseVariationalApproximation(f(z, 1e-4), q))
+        return agp.MultiLatentSVGP(tuple(svas), agp.HeteroscedasticGaussianLikelihood())
+
+    params = {
+        "k_m": jnp.array([0.5, 0.5], dtype), "m_m": jnp.zeros(M, dtype), "A_m": jnp.eye(M, dtype=dtype),
+        "k_v": jnp.array([0.5, 1.5], dtype), "m_v": jnp.full(M, -1.0, dtype), "A_v": 0.3 * jnp.eye(M, dtype=dtype),
+    }
+
+    def loss(p):
+        return -multi_latent_elbo(build(p), x, y, n_gh=10)
+
+    opt = optax.adam(2e-2)
+
+    @jax.jit
+    def train(params):
+        state = opt.init(params)
+
+        def step(carry, _):
+            p, s = carry
+            val, g = jax.value_and_grad(loss)(p)
+            up, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, up), s), val
+
+        (p, _), vals = jax.lax.scan(step, (params, state), None, length=steps)
+        return p, vals
+
+    params, vals = train(params)
+    print(f"ELBO: step 0: {-float(vals[0]):.1f} -> step {steps}: {-float(vals[-1]):.1f}")
+    assert float(vals[-1]) < float(vals[0]), "ELBO did not improve"
+
+    post_mean, post_logvar = agp.posterior(build(params))
+    probes = jnp.array([-2.5, 0.0, 2.5], dtype)
+    sd_learned = jnp.exp(0.5 * post_logvar.mean(probes))
+    sd_true = 0.05 + 0.75 * (probes - x.min()) / (x.max() - x.min())
+    for p, sl, st in zip(np.asarray(probes), np.asarray(sd_learned), np.asarray(sd_true)):
+        print(f"x={p:+.1f}: learned noise sd {sl:.3f}  (true {st:.3f})")
+    mu = post_mean.mean(probes)
+    print("mean latent at probes:", np.round(np.asarray(mu), 3), " (true sin:", np.round(np.sin(np.asarray(probes)), 3), ")")
+    # the model must learn that noise GROWS with x (the heteroscedastic
+    # signal) and track the mean latent
+    assert float(sd_learned[-1]) > float(sd_learned[0]), np.asarray(sd_learned)
+    assert jnp.all(jnp.isfinite(mu))
+    return params
 
 
-params = {
-    "k_m": jnp.array([0.5, 0.5], dtype), "m_m": jnp.zeros(M, dtype), "A_m": jnp.eye(M, dtype=dtype),
-    "k_v": jnp.array([0.5, 1.5], dtype), "m_v": jnp.full(M, -1.0, dtype), "A_v": 0.3 * jnp.eye(M, dtype=dtype),
-}
-
-
-def loss(p):
-    return -multi_latent_elbo(build(p), x, y, n_gh=10)
-
-
-opt = optax.adam(2e-2)
-
-
-@jax.jit
-def train(params):
-    state = opt.init(params)
-
-    def step(carry, _):
-        p, s = carry
-        val, g = jax.value_and_grad(loss)(p)
-        up, s = opt.update(g, s, p)
-        return (optax.apply_updates(p, up), s), val
-
-    (p, _), vals = jax.lax.scan(step, (params, state), None, length=STEPS)
-    return p, vals
-
-
-params, vals = train(params)
-print(f"ELBO: step 0: {-float(vals[0]):.1f} -> step {STEPS}: {-float(vals[-1]):.1f}")
-
-post_mean, post_logvar = agp.posterior(build(params))
-probes = jnp.array([-2.5, 0.0, 2.5], dtype)
-sd_learned = jnp.exp(0.5 * post_logvar.mean(probes))
-sd_true = 0.05 + 0.75 * (probes - x.min()) / (x.max() - x.min())
-for p, sl, st in zip(np.asarray(probes), np.asarray(sd_learned), np.asarray(sd_true)):
-    print(f"x={p:+.1f}: learned noise sd {sl:.3f}  (true {st:.3f})")
-mu = post_mean.mean(probes)
-print("mean latent at probes:", np.round(np.asarray(mu), 3), " (true sin:", np.round(np.sin(np.asarray(probes)), 3), ")")
+if __name__ == "__main__":
+    main()

@@ -26,13 +26,12 @@ from approximategps_tpu.models.sampling import sample_posterior_functions_cg
 from approximategps_tpu.utils.training import make_slq_hyperopt_step
 
 
-def main():
+def main(N=20_000, Nh=5_000, Nc=10_000, block=4096, hyperopt_steps=10):
     print(f"backend: {jax.default_backend()}")
     rng = np.random.default_rng(0)
     dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
 
     # ---- 1. exact regression via preconditioned CG, N = 20,000 ----------
-    N = 20_000
     x = jnp.asarray(np.sort(rng.uniform(0, 10, N)), dtype)[:, None]
     f_true = lambda t: np.sin(2 * t) + 0.5 * np.cos(5 * t)
     y = jnp.asarray(f_true(np.asarray(x[:, 0])) + 0.1 * rng.standard_normal(N), dtype)
@@ -42,25 +41,24 @@ def main():
     fx = f(x, 0.01)
 
     t0 = time.time()
-    post = posterior_cg(fx, y, tol=1e-6, block_size=4096, precond_rank=32)
+    post = posterior_cg(fx, y, tol=1e-6, block_size=block, precond_rank=32)
     xs = jnp.linspace(0, 10, 200, dtype=dtype)[:, None]
     mu, var = post.mean_and_var(xs)
     mu.block_until_ready()
     err = float(jnp.max(jnp.abs(mu - jnp.asarray(f_true(np.asarray(xs[:, 0])), dtype))))
     print(f"[cg-regression]  N={N}: max |mu - f_true| = {err:.3f} "
-          f"({time.time()-t0:.1f}s, rank-32 preconditioner, block 4096)")
+          f"({time.time()-t0:.1f}s, rank-32 preconditioner, block {block})")
     assert err < 0.15
 
     # SLQ log evidence (stochastic value)
     lml = float(logpdf_slq(fx, y, jax.random.PRNGKey(0), num_probes=8,
-                           lanczos_iters=25, block_size=4096))
+                           lanczos_iters=25, block_size=block))
     print(f"[slq-logpdf]     log p(y) ~= {lml:.1f}")
 
     # ---- 1b. SLQ hyperopt with the carried/refresh-schedule --------------
     # preconditioner: Adam on -logpdf_slq, pivoted-Cholesky factor rebuilt
     # every 5 steps (stale factors are solution-invariant — they only cost
     # CG iterations)
-    Nh = 5_000
     xh, yh = x[:Nh], y[:Nh]
 
     def build_fx(theta):
@@ -72,17 +70,17 @@ def main():
     step, init_c = make_slq_hyperopt_step(
         build_fx, yh, jax.random.PRNGKey(3), learning_rate=0.1,
         precond_rank=32, refresh_every=5,
-        num_probes=8, lanczos_iters=25, cg_tol=1e-6, block_size=4096,
+        num_probes=8, lanczos_iters=25, cg_tol=1e-6, block_size=block,
     )
     t0 = time.time()
     carry = init_c(jnp.array([0.0, 0.0], dtype))
     first = last = None
-    for _ in range(10):
+    for _ in range(hyperopt_steps):
         carry, nll = step(carry)
         first = float(nll) if first is None else first
         last = float(nll)
     theta_fit = jax.nn.softplus(carry[0])
-    print(f"[slq-hyperopt]   10 Adam steps on -logpdf_slq: nll {first:.1f} "
+    print(f"[slq-hyperopt]   {hyperopt_steps} Adam steps on -logpdf_slq: nll {first:.1f} "
           f"-> {last:.1f}, (var, ls) = ({float(theta_fit[0]):.2f}, "
           f"{float(theta_fit[1]):.2f}) ({time.time()-t0:.1f}s, "
           f"rank-32 refreshed every 5)")
@@ -92,7 +90,7 @@ def main():
     t0 = time.time()
     fs = sample_posterior_functions_cg(
         jax.random.PRNGKey(1), fx, y, num_samples=16, num_features=2048,
-        tol=1e-6, block_size=4096, precond_rank=32,
+        tol=1e-6, block_size=block, precond_rank=32,
     )
     samples = fs(xs)  # (16, 200)
     spread = jnp.mean(samples.std(axis=0))
@@ -101,7 +99,6 @@ def main():
     assert jnp.all(jnp.isfinite(samples))
 
     # ---- 3. CG-Newton Laplace classification, N = 10,000 ----------------
-    Nc = 10_000
     xc = jnp.asarray(rng.uniform(0, 10, (Nc, 1)), dtype)
     p_true = jax.nn.sigmoid(3.0 * jnp.sin(2.0 * xc[:, 0]))
     yc = jnp.asarray(rng.uniform(size=Nc) < np.asarray(p_true), dtype).astype(jnp.int32)
@@ -109,7 +106,7 @@ def main():
     lfx = agp.LatentGP(agp.GP(2.0 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.8)),
                        agp.BernoulliLikelihood(), 1e-6)(xc)
     t0 = time.time()
-    la = LaplaceCG(maxiter=20, tol=1e-6, cg_tol=1e-6, block_size=4096)
+    la = LaplaceCG(maxiter=20, tol=1e-6, cg_tol=1e-6, block_size=block)
     post_c = agp.posterior(la, lfx, yc)
     mu_c = post_c.mean(xs)
     mu_c.block_until_ready()

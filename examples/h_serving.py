@@ -33,7 +33,7 @@ from approximategps_tpu.parallel import data_mesh, dp_predict_blocks
 from approximategps_tpu.utils.training import build_svgp, init_svgp_params
 
 
-def main(N=50_000, M=256, Ntest=200_000, seed=0):
+def main(N=50_000, M=256, Ntest=200_000, seed=0, batch=4096):
     # provision a virtual CPU mesh BEFORE the first backend query (no-op on
     # TPU or if a backend already initialized — the sweep then just runs on
     # however many devices exist)
@@ -62,7 +62,7 @@ def main(N=50_000, M=256, Ntest=200_000, seed=0):
 
     opt = optax.adam(3e-2)
     state = opt.init(params)
-    B = 4096
+    B = min(batch, N)
 
     @jax.jit
     def epoch(carry, perm):
