@@ -580,3 +580,39 @@ def test_sparse_root_pallas_matches_xla(key):
         out[up] = (lml, np.asarray(mu))
     np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-9)
     np.testing.assert_allclose(out[True][1], out[False][1], rtol=1e-7, atol=1e-10)
+
+
+def test_native_grid_preprocessing_matches_brute():
+    """The grid-accelerated C++ preprocessing (engaged at N >= 2048, D <= 4)
+    must EXACTLY match the brute-force numpy fallback — same selections,
+    same lowest-index tie-breaking — for all three entry points.  (At
+    N=1e6/2-D the grid paths measure 7.4 s / 37.8 s / 5.9 s where the
+    O(N^2) scans extrapolate past 10 minutes.)"""
+    from approximategps_tpu.native import ordering as onat
+
+    if not onat.native_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(7)
+    X = np.ascontiguousarray(rng.uniform(0, 10, (2600, 2)))
+    lib = onat._LIB
+
+    def brute(fn, *args):
+        onat._LIB = None
+        try:
+            return fn(*args)
+        finally:
+            onat._LIB = lib
+
+    order = onat.maximin_ordering(X)
+    np.testing.assert_array_equal(order, brute(onat.maximin_ordering, X))
+    nbr = onat.nearest_predecessor_neighbors(X, order, 9)
+    np.testing.assert_array_equal(
+        nbr, brute(onat.nearest_predecessor_neighbors, X, order, 9)
+    )
+    sc = onat.scaled_ball_predecessors(X, order, 3.0, 9)
+    np.testing.assert_array_equal(
+        sc, brute(onat.scaled_ball_predecessors, X, order, 3.0, 9)
+    )
