@@ -221,6 +221,86 @@ def masked_chol_solve_band_math_lane(A, c, kdiag):
     return jnp.concatenate([row, inv_sqrt_F[:, None]], axis=1)
 
 
+def _masked_chol_factor(A, unroll: bool = True):
+    """The masked-column Cholesky of :func:`masked_chol_solve_band_math`
+    alone: A (Bt, k, k) → (L, Ldiag, live) with the same relative pivot
+    floors and modified-Cholesky deflation.  Batch-leading layout, unrolled
+    (or fori_loop) column steps — the fast path on TPU where XLA's
+    dynamic-slice batched-cholesky expander is orders of magnitude slower."""
+    k = A.shape[-1]
+    t_row = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def onehot(j):
+        return (t_row == j).astype(A.dtype)
+
+    def chol_step(j, carry):
+        L, defl = carry
+        lj = jnp.sum(L * onehot(j)[:, :, None], axis=1)
+        mask_t = (t_row < j).astype(A.dtype)
+        s = jnp.sum(L * (lj * mask_t)[:, None, :], axis=2)
+        Aj = jnp.sum(A * onehot(j)[:, :, None], axis=1)
+        Ajj = jnp.sum(Aj * onehot(j), axis=1)
+        d_raw = Ajj - jnp.sum(s * onehot(j), axis=1)
+        fl = 8.0 * jnp.finfo(A.dtype).eps * jnp.abs(Ajj)
+        d = jnp.maximum(d_raw, fl)
+        notc = (d_raw >= fl).astype(A.dtype)
+        inv_ljj = jax.lax.rsqrt(d)
+        Acol = jnp.sum(A * onehot(j)[:, None, :], axis=2)
+        col = (Acol - s) * (inv_ljj * notc)[:, None]
+        i_gt_j = (t_row > j).astype(A.dtype)
+        new_col = col * i_gt_j + onehot(j) * (1.0 / inv_ljj)[:, None]
+        L = L + new_col[:, :, None] * onehot(j)[:, None, :]
+        defl = defl + onehot(j) * (1.0 - notc)[:, None]
+        return L, defl
+
+    zeros_c = jnp.zeros(A.shape[:2], A.dtype)
+    if unroll:
+        carry = (jnp.zeros_like(A), zeros_c)
+        for j in range(k):
+            carry = chol_step(j, carry)
+        L, defl = carry
+    else:
+        L, defl = jax.lax.fori_loop(
+            0, k, chol_step, (jnp.zeros_like(A), zeros_c)
+        )
+    live = 1.0 - defl
+    Ldiag = jnp.sum(L * jnp.eye(k, dtype=A.dtype)[None, :, :], axis=2)
+    return L, Ldiag, live
+
+
+def _masked_spd_solve(factor, c):
+    """A⁻¹ c from a :func:`_masked_chol_factor` result, c (Bt, k) — the
+    forward+backward substitutions of :func:`masked_chol_solve_band_math`
+    (deflated coordinates forced to zero), unrolled."""
+    L, Ldiag, live = factor
+    k = L.shape[-1]
+    t_row = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def onehot(j):
+        return (t_row == j).astype(L.dtype)
+
+    w = jnp.zeros_like(c)
+    for i in range(k):
+        mask_t = (t_row < i).astype(L.dtype)
+        Li = jnp.sum(L * onehot(i)[:, :, None], axis=1)
+        s = jnp.sum(Li * w * mask_t, axis=1)
+        ci = jnp.sum(c * onehot(i), axis=1)
+        di = jnp.sum(Ldiag * onehot(i), axis=1)
+        li = jnp.sum(live * onehot(i), axis=1)
+        w = w + onehot(i) * (li * (ci - s) / di)[:, None]
+
+    b = jnp.zeros_like(c)
+    for i in reversed(range(k)):
+        mask_t = (t_row > i).astype(L.dtype)
+        Lcol_i = jnp.sum(L * onehot(i)[:, None, :], axis=2)
+        s = jnp.sum(Lcol_i * b * mask_t, axis=1)
+        wi = jnp.sum(w * onehot(i), axis=1)
+        di = jnp.sum(Ldiag * onehot(i), axis=1)
+        li = jnp.sum(live * onehot(i), axis=1)
+        b = b + onehot(i) * (li * (wi - s) / di)[:, None]
+    return b
+
+
 def _kernel(kw_ref, kni_ref, kdiag_ref, out_ref, *, k: int, unroll: bool):
     # kw_ref: (Bt, k, k); kni_ref: (Bt, k); kdiag_ref: (Bt, 1); out: (Bt, k+1)
     # compute in the input dtype, promoted to at least f32 (bf16 inputs
@@ -306,14 +386,14 @@ def _band_bwd(block, unroll, residuals, gbar):
     gr = gbar[:, :-1]  # (B, k)
     gd = gbar[:, -1]  # (B,)
 
-    # relative jitter mirrors the forward pivot floor (f32 robustness)
-    k = Kw.shape[-1]
-    diag_scale = jnp.einsum("bii->b", Kw) / k
-    L = jnp.linalg.cholesky(
-        Kw + (8.0 * jnp.finfo(Kw.dtype).eps * diag_scale)[:, None, None]
-        * jnp.eye(k, dtype=Kw.dtype)
-    )
-    b = jax.scipy.linalg.cho_solve((L, True), kni[..., None])[..., 0]
+    # ONE masked-column factorization shared by both solves — the same
+    # unrolled batch-leading math as the forward (XLA's dynamic-slice
+    # batched cholesky/cho_solve here dominated the whole training step at
+    # N=1e5/k=32: the lml+grad step measured 599 ms vs 29 ms forward;
+    # 294 ms after this change).  Pivot floors and deflation match the
+    # forward exactly.
+    factor = _masked_chol_factor(Kw, unroll=True)
+    b = _masked_spd_solve(factor, kni)
     F = kdiag - jnp.einsum("bk,bk->b", kni, b)
     F = jnp.maximum(F, 8.0 * jnp.finfo(Kw.dtype).eps * kdiag)
     u0 = jax.lax.rsqrt(F)
@@ -321,7 +401,7 @@ def _band_bwd(block, unroll, residuals, gbar):
     u0_bar = gd - jnp.einsum("bk,bk->b", gr, b)
     F_bar = -0.5 * u0**3 * u0_bar
     b_bar = -u0[:, None] * gr - kni * F_bar[:, None]
-    Sb_bar = jax.scipy.linalg.cho_solve((L, True), b_bar[..., None])[..., 0]
+    Sb_bar = _masked_spd_solve(factor, b_bar)
     kni_bar = Sb_bar - b * F_bar[:, None]
     Kw_bar = -jnp.einsum("bi,bj->bij", Sb_bar, b)
     kdiag_bar = F_bar

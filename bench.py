@@ -297,6 +297,116 @@ def vecchia_predict_knn_sweep(N=1_000_000, Ntest=1_000_000, k=32, iters=2):
     return chained_step_ms(make_run, iters=iters)
 
 
+def vecchia_lml_grad(N=1_000_000, k=32, block=8192, iters=2):
+    """The BASELINE config-#4 TRAINING step: one jitted value_and_grad of
+    the banded-Vecchia lml w.r.t. kernel hyperparameters (variance +
+    lengthscale) at N=1e6/k=32.  The forward runs the fused batch-on-lanes
+    Pallas band kernel; the backward is the chunked XLA recompute pullback
+    (``_vecchia_band_bwd``) chained with the closed-form band pullback."""
+    import approximategps_tpu as agp
+
+    dtype = jnp.float32
+    x0 = jnp.linspace(0.0, float(N), N, dtype=dtype)
+    y = jnp.sin(x0 / 3.0)
+
+    def lml(theta, x, y):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.Matern32Kernel(), jax.nn.softplus(theta[1])
+        )
+        nn = agp.NearestNeighbors(k, block_size=block)
+        return agp.approx_lml(nn, agp.GP(kern)(x, 0.0), y)
+
+    theta0 = jnp.array([0.55, 0.55], dtype)
+
+    def make_run(n):
+        @jax.jit
+        def run(x, y):
+            def body(t, _):
+                v, g = jax.value_and_grad(lml)(t, x, y)
+                return t + 1e-30 * (v + jnp.sum(g)), None
+
+            t, _ = jax.lax.scan(body, theta0, None, length=n)
+            return jnp.sum(t)
+
+        return partial(run, x0, y)
+
+    return chained_step_ms(make_run, iters=iters)
+
+
+def block_vecchia_lml_grad(N=1_000_000, b=64, k=64, iters=2):
+    """Block-Vecchia training step: lml + hyperparameter gradient at
+    N=1e6 (the lml-only row measures the forward; training pays the
+    pullback through the batched block factorizations too)."""
+    import approximategps_tpu as agp
+
+    dtype = jnp.float32
+    x = jnp.linspace(0.0, float(N), N, dtype=dtype)[:, None]
+    y = jnp.sin(x[:, 0] / 3.0)
+
+    def lml(theta, x, y):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.Matern32Kernel(), jax.nn.softplus(theta[1])
+        )
+        nn = agp.BlockNearestNeighbors(block_size=b, k=k)
+        return agp.approx_lml(nn, agp.GP(kern)(x, 0.0), y)
+
+    theta0 = jnp.array([0.55, 0.55], dtype)
+
+    def make_run(n):
+        @jax.jit
+        def run(x, y):
+            def body(t, _):
+                v, g = jax.value_and_grad(lml)(t, x, y)
+                return t + 1e-30 * (v + jnp.sum(g)), None
+
+            t, _ = jax.lax.scan(body, theta0, None, length=n)
+            return jnp.sum(t)
+
+        return partial(run, x, y)
+
+    return chained_step_ms(make_run, iters=iters)
+
+
+def vecchia_sparse_build(N=1_000_000, k=32, iters=3):
+    """Generalized-neighbor (gather-indexed) construction on the fused
+    Pallas lanes tier — the maximin/nearest/scaled configurations' device
+    path (VERDICT r3 item 1).  Predecessor sets here are synthetic random
+    predecessors (worst-case gather locality: maximin/scaled sets are
+    spatially clustered, so this upper-bounds their HBM cost); the host
+    ordering/search runs once outside any training loop and is not what
+    this row measures."""
+    import numpy as np
+
+    import approximategps_tpu as agp
+    from approximategps_tpu.models.vecchia import approx_root_prec_sparse
+
+    dtype = jnp.float32
+    x0 = jnp.linspace(0.0, float(N), N, dtype=dtype)
+    kern = agp.Matern32Kernel()
+    rng = np.random.default_rng(0)
+    # k random distinct predecessors per point (−1 pad for the first k)
+    offs = np.sort(rng.integers(1, 1 << 30, size=(N, k)) % np.maximum(
+        np.arange(N)[:, None], 1), axis=1)
+    nbr_np = np.arange(N)[:, None] - 1 - offs
+    nbr_np = np.where(np.arange(N)[:, None] > np.arange(k)[None, :],
+                      np.maximum(nbr_np, 0), -1)
+    nbr = jnp.asarray(nbr_np, jnp.int32)
+
+    def make_run(n):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                rep = approx_root_prec_sparse(x + c * 0, nbr, kern)
+                return c + 0.0 * rep.diag[0], jnp.sum(rep.diag)
+
+            _, vals = jax.lax.scan(body, jnp.zeros((), dtype), None, length=n)
+            return vals[-1]
+
+        return partial(run, x0)
+
+    return chained_step_ms(make_run, iters=iters)
+
+
 def laplace_cg_mode(N=20000, iters=2):
     """Matrix-free Laplace mode-finding at a size where the dense path needs
     a 1.6 GB gram + an O(N^3) Cholesky per Newton step.  Round-3 fast-solve
@@ -607,11 +717,20 @@ def main():
             ("svgp_predict_mean_var_sweep_ms(Ntest=1e6,M=2048)", svgp_predict_sweep),
             ("natgrad_adam_hybrid_step_ms(N=1e6,M=2048,B=8192)", natgrad_hybrid),
             ("vecchia_band_build_ms(N=1e6,k=32)", vecchia_build),
+            ("vecchia_lml_grad_step_ms(N=1e6,k=32)", vecchia_lml_grad),
+            (
+                "vecchia_sparse_build_ms(N=1e6,k=32,random-predecessors)",
+                vecchia_sparse_build,
+            ),
             (
                 "vecchia_predict_knn_sweep_ms(N=1e6,Ntest=1e6,k=32)",
                 vecchia_predict_knn_sweep,
             ),
             ("block_vecchia_lml_ms(N=1e6,b=64,k=64)", block_vecchia_lml),
+            (
+                "block_vecchia_lml_grad_step_ms(N=1e6,b=64,k=64)",
+                block_vecchia_lml_grad,
+            ),
             ("laplace_newton_lml_grad_ms(N=5000)", laplace_n5k),
             ("laplace_cg_newton_mode_ms(N=2e4,K-resident+precond)", laplace_cg_mode),
             (
