@@ -31,10 +31,10 @@ class StepTimer:
     """Wall-clock step timer with device synchronisation.
 
     >>> timer = StepTimer()
-    >>> for batch in data:
-    ...     out = step(params, batch)
-    ...     timer.tick(out)
-    >>> timer.summary()   # {'mean_ms': ..., 'p50_ms': ..., 'steps/sec': ...}
+    >>> for batch in range(3):      # ... each training step:
+    ...     _ = timer.tick(out=None)   # pass the step output to sync on it
+    >>> sorted(timer.summary())
+    ['mean_ms', 'min_ms', 'n', 'p50_ms', 'steps_per_sec']
     """
 
     def __init__(self):
