@@ -93,35 +93,48 @@ class NearestNeighbors:
 def band_Ut_matmul(Uband: jax.Array, X: jax.Array) -> jax.Array:
     """Uᵀ X for the banded upper-triangular U, X of shape (N,) or (N, P).
 
-    (Uᵀ X)[i] = Σ_{t=0..k} Uband[i, t] · X[i−k+t]."""
-    N, kp1 = Uband.shape
+    (Uᵀ X)[i] = Σ_{t=0..k} Uband[i, t] · X[i−k+t], evaluated as k+1 STATIC
+    SHIFTS of X (slices + zero pads) instead of a clipped gather — on TPU
+    the gather (and especially its scatter-add transpose in the backward)
+    costs an order of magnitude more HBM time than contiguous copies.  The
+    shifted rows carry zeros where i−k+t < 0, so the out-of-range band
+    entries never contribute (they are 0 in exact arithmetic anyway: the
+    construction masks kni)."""
+    kp1 = Uband.shape[1]
     k = kp1 - 1
-    vec = X.ndim == 1
-    if vec:
-        X = X[:, None]
-    idx = jnp.arange(N)[:, None] - k + jnp.arange(kp1)[None, :]  # (N, k+1)
-    mask = idx >= 0
-    idxc = jnp.clip(idx, 0, N - 1)
-    Xw = X[idxc]  # (N, k+1, P)
-    coeff = jnp.where(mask, Uband, 0.0)
-    out = jnp.einsum("nt,ntp->np", coeff, Xw)
-    return out[:, 0] if vec else out
+    if X.ndim == 1:
+        # rank-1 path: (N, 1)-shaped intermediates would be 128×-padded by
+        # the TPU tiling (measured 488 MB copies at N=1e6 → OOM)
+        out = Uband[:, k] * X
+        for t in range(k):
+            sh = k - t
+            Xsh = jnp.concatenate([jnp.zeros((sh,), X.dtype), X[:-sh]])
+            out = out + Uband[:, t] * Xsh
+        return out
+    P = X.shape[1]
+    out = Uband[:, k:kp1] * X  # t = k term: the point itself
+    for t in range(k):
+        sh = k - t
+        Xsh = jnp.concatenate(
+            [jnp.zeros((sh, P), X.dtype), X[:-sh]], axis=0
+        )
+        out = out + Uband[:, t : t + 1] * Xsh
+    return out
 
 
 def band_U_matvec(Uband: jax.Array, w: jax.Array) -> jax.Array:
     """U w for the banded upper-triangular U.
 
-    (U w)[j] = Σ_{s=0..k} U[j, j+s] w[j+s], with U[j, j+s] = Uband[j+s, k−s]."""
+    (U w)[j] = Σ_{s=0..k} U[j, j+s] w[j+s], with U[j, j+s] = Uband[j+s, k−s]
+    — evaluated as k+1 static shifts (see :func:`band_Ut_matmul`)."""
     N, kp1 = Uband.shape
     k = kp1 - 1
-    j = jnp.arange(N)[:, None]
-    s = jnp.arange(kp1)[None, :]
-    idx = j + s  # (N, k+1)
-    mask = idx <= N - 1
-    idxc = jnp.clip(idx, 0, N - 1)
-    coeff = jnp.where(mask, Uband[idxc, k - s], 0.0)
-    wv = jnp.where(mask, w[idxc], 0.0)
-    return jnp.sum(coeff * wv, axis=1)
+    out = Uband[:, k] * w
+    for s in range(1, kp1):
+        out = out + jnp.concatenate(
+            [Uband[s:, k - s] * w[s:], jnp.zeros((s,), w.dtype)], axis=0
+        )
+    return out
 
 
 @pytree_dataclass
@@ -174,23 +187,49 @@ def _fused_band(Xp: jax.Array, k: int, kern: Kernel, nbr=None):
     (:func:`~approximategps_tpu.ops.batched_chol.pallas_vecchia_band_lanes`)
     — the batch rides the 128-lane axis at full occupancy."""
     from ..core.kernels import unwrap_stationary
-    from ..ops.batched_chol import pallas_vecchia_band_lanes
+    from ..ops.batched_chol import (
+        pallas_vecchia_band_lanes,
+        pallas_vecchia_band_lanes_t,
+    )
 
     unwrapped = unwrap_stationary(kern)
     if unwrapped is None:
         return None
     fn, scale, variance = unwrapped
     Xs = Xp if scale is None else Xp * jnp.asarray(scale, Xp.dtype)
-    N = Xs.shape[0]
+    N, D = Xs.shape
     if nbr is None:
-        idx = jnp.arange(N)[:, None] - k + jnp.arange(k)[None, :]
+        # previous-k windows are SLIDING: build them N-minor as k static
+        # shifts of rank-1 feature rows (slices + front pads), feeding the
+        # transposed kernel entry.  A clipped gather here costs ~280 ms at
+        # N=1e6 forward and ~560 ms fwd+bwd (the scatter-add transpose)
+        # where the whole fused kernel fwd+bwd is 183 ms; and the (N, D,
+        # k+1) layout's (N, 1) slice intermediates are 128×-padded by the
+        # TPU tiling (488 MB copies at N=1e6, D=1 — an OOM)
+        rows = []
+        for d in range(D):
+            Xd = Xs[:, d]
+            for t in range(k):
+                sh = k - t
+                rows.append(
+                    jnp.concatenate(
+                        [jnp.full((sh,), Xd[0], Xs.dtype), Xd[:-sh]]
+                    )
+                )
+            rows.append(Xd)
+        xwT = jnp.stack(rows, axis=0).reshape(D, k + 1, N)
+        iota = jnp.arange(N)
+        validT = jnp.stack(
+            [(iota >= k - t).astype(Xs.dtype) for t in range(k)], axis=0
+        )  # (k, N)
+        Uband = pallas_vecchia_band_lanes_t(xwT, validT, fn)
     else:
         idx = nbr
-    valid = (idx >= 0).astype(Xs.dtype)
-    idxc = jnp.clip(idx, 0, N - 1)
-    # (N, D, k+1): window slot k is the point itself
-    xw = jnp.concatenate([Xs[idxc], Xs[:, None, :]], axis=1).swapaxes(1, 2)
-    Uband = pallas_vecchia_band_lanes(xw, valid, fn)
+        valid = (idx >= 0).astype(Xs.dtype)
+        idxc = jnp.clip(idx, 0, N - 1)
+        # (N, D, k+1): window slot k is the point itself
+        xw = jnp.concatenate([Xs[idxc], Xs[:, None, :]], axis=1).swapaxes(1, 2)
+        Uband = pallas_vecchia_band_lanes(xw, valid, fn)
     if variance is not None:
         Uband = Uband / jnp.sqrt(jnp.asarray(variance, Uband.dtype))
     return Uband

@@ -37,6 +37,7 @@ __all__ = [
     "masked_chol_solve_band_math_lane",
     "pallas_vecchia_band",
     "pallas_vecchia_band_lanes",
+    "pallas_vecchia_band_lanes_t",
 ]
 
 
@@ -798,6 +799,218 @@ def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel):
     return out.swapaxes(0, 1)[:N]
 
 
+def _vecchia_band_bwd_kernel_lanes(
+    xw_ref, validp_ref, gbar_ref, xwbar_ref, ares_ref, lst_ref, *,
+    k_of_r2, kp1: int
+):
+    """Fused Vecchia-band PULLBACK, batch on lanes: window → Gram →
+    bordered factor → closed-form band cotangent chain → Gram/window
+    pullback, all in one VMEM pass.  The XLA chunked recompute ran the
+    masked-column math in the batch-leading layout (k on lanes — 4× lane
+    waste, rank-3 temporaries lane-padded k→128): the whole N=1e6/k=32
+    lml+grad step measured 3037 ms of which ~2.7 s was this backward.
+
+    Math (matches ``_band_bwd``): with b = Kw⁻¹kni, F = kdiag − kni·b,
+    u₀ = F^{−1/2}, ḡ = [ḡ_r, ḡ_d]:
+
+        ū₀ = ḡ_d − ḡ_r·b          F̄ = −½ u₀³ ū₀
+        b̄  = −u₀ ḡ_r − kni F̄      K̄w = −(Kw⁻¹b̄) bᵀ,  kn̄i = Kw⁻¹b̄ − b F̄
+
+    then (exploiting that only r2 = Σ_d (w_i−w_j)² reaches the kernel map,
+    so only sym(Ḡ) matters — built WITHOUT transposes from outer products)
+
+        Ḡ_sym = −½(Sb̄⊗b + b⊗Sb̄)·pm + ½(kn̄i⊗e_k + e_k⊗kn̄i)·valid + F̄·e_k⊗e_k
+        r̄2    = k'(r2)·Ḡ_sym        (elementwise vjp of the static map)
+        x̄w[d] = −4 Σ_i (r̄2 · dd_d)[i, :]   (leading-axis reduction: r̄2 is
+                 symmetric and dd antisymmetric, so the j-sum equals minus
+                 the i-sum — Mosaic cannot reduce the middle axis)
+
+    The factorization is the forward kernel's bordered masked Cholesky
+    (panel=1) with the same pivot floors and deflation; deflated/invalid
+    coordinates carry zero solves, matching ``_masked_spd_solve``."""
+    cdt = ares_ref.dtype
+    w = xw_ref[:].astype(cdt)  # (D, kpp, Bt)
+    validp = validp_ref[:].astype(cdt)  # (kpp, Bt)
+    gbar = gbar_ref[:].astype(cdt)  # (kp1, Bt)
+    D, kpp, _ = w.shape
+    k = kp1 - 1
+    eps = jnp.finfo(cdt).eps
+    riota = jax.lax.broadcasted_iota(jnp.int32, (kpp, 1), 0)
+
+    def onehot(j):
+        return (riota == j).astype(cdt)
+
+    r2 = None
+    dds = []
+    for d in range(D):
+        wd = w[d]
+        dd = wd[:, None, :] - wd[None, :, :]
+        dds.append(dd)
+        r2 = dd * dd if r2 is None else r2 + dd * dd
+    G, fn_vjp = jax.vjp(k_of_r2, r2)
+
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (kpp, kpp, 1), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (kpp, kpp, 1), 1)
+    ).astype(cdt)
+    pm = validp[:, None, :] * validp[None, :, :]
+    Gm = G * pm + (1.0 - pm) * eye
+    diag0 = jnp.sum(Gm * eye, axis=0)
+    floors = 8.0 * eps * jnp.abs(diag0)
+    ares_ref[:] = Gm
+
+    # --- bordered masked Cholesky (forward kernel, panel=1) + live mask ---
+    def chol_step(j, live):
+        cj = ares_ref[pl.ds(j, 1)][0]  # residual column j
+        ohj = onehot(j)
+        d_raw = jnp.sum(cj * ohj, axis=0, keepdims=True)
+        fl = jnp.sum(floors * ohj, axis=0, keepdims=True)
+        dpv = jnp.maximum(d_raw, fl)
+        inv = jax.lax.rsqrt(dpv)
+        notc = (d_raw >= fl).astype(cdt)
+        Lcol = cj * (inv * notc) * (riota > j).astype(cdt) + ohj * (dpv * inv)
+        lst_ref[pl.ds(j, 1)] = Lcol[None]
+        ares_ref[:] = ares_ref[:] - Lcol[:, None, :] * Lcol[None, :, :]
+        return live + ohj * notc
+
+    live = jax.lax.fori_loop(0, kpp, chol_step, jnp.zeros_like(validp))
+    Ldiag = jnp.sum(lst_ref[:] * eye, axis=0)  # (kpp, Bt)
+
+    ohk = onehot(k)
+    maskk = (riota < k).astype(cdt)
+    u0 = jnp.sum(lst_ref[pl.ds(k, 1)][0] * ohk, axis=0, keepdims=True)
+    inv_sqrt_F = 1.0 / u0  # (1, Bt)
+
+    # b = L_k⁻ᵀ w over the leading k×k block (forward kernel's bwd_step)
+    def bsub_step(jj, b):
+        i = k - 1 - jj
+        Li = lst_ref[pl.ds(i, 1)][0]
+        ohi = onehot(i)
+        s = jnp.sum(Li * b * (riota > i).astype(cdt), axis=0, keepdims=True)
+        wi = jnp.sum(Li * ohk, axis=0, keepdims=True)
+        di = jnp.sum(Ldiag * ohi, axis=0, keepdims=True)
+        li = jnp.sum(live * ohi, axis=0, keepdims=True)
+        return b + ohi * (li * (wi - s) / di)
+
+    b = jax.lax.fori_loop(0, k, bsub_step, jnp.zeros_like(validp))
+
+    kni = jnp.sum(Gm * ohk[None, :, :], axis=1) * maskk  # (kpp, Bt): Gm[:, k]
+    kdiag = jnp.sum(jnp.sum(Gm * ohk[None, :, :], axis=1) * ohk, axis=0,
+                    keepdims=True)
+    gr = gbar[:k]  # (k, Bt)
+    gr = jnp.concatenate([gr, jnp.zeros((kpp - k, gr.shape[1]), cdt)], axis=0)
+    gd = gbar[k:kp1]  # (1, Bt)
+
+    F = kdiag - jnp.sum(kni * b, axis=0, keepdims=True)
+    F = jnp.maximum(F, 8.0 * eps * kdiag)
+    u0v = jax.lax.rsqrt(F)  # = inv_sqrt_F up to the floor path
+    del inv_sqrt_F
+
+    u0_bar = gd - jnp.sum(gr * b, axis=0, keepdims=True)
+    F_bar = -0.5 * u0v * u0v * u0v * u0_bar  # (1, Bt)
+    b_bar = -u0v * gr - kni * F_bar  # (kpp, Bt), zero past slot k
+
+    # Sb̄ = Kw⁻¹ b̄ = L_k⁻ᵀ (L_k⁻¹ b̄): right-looking forward substitution
+    # (only column reads) then the back-substitution above
+    def fsub_step(i, carry):
+        y, c_work = carry
+        ohi = onehot(i)
+        ci = jnp.sum(c_work * ohi, axis=0, keepdims=True)
+        di = jnp.sum(Ldiag * ohi, axis=0, keepdims=True)
+        li = jnp.sum(live * ohi, axis=0, keepdims=True)
+        yi = li * ci / di  # (1, Bt)
+        Lcol_i = lst_ref[pl.ds(i, 1)][0]
+        c_work = c_work - yi * Lcol_i * (riota > i).astype(cdt)
+        return y + ohi * yi, c_work
+
+    y, _ = jax.lax.fori_loop(
+        0, k, fsub_step, (jnp.zeros_like(validp), b_bar * maskk)
+    )
+
+    def bsub2_step(jj, sb):
+        i = k - 1 - jj
+        Li = lst_ref[pl.ds(i, 1)][0]
+        ohi = onehot(i)
+        s = jnp.sum(Li * sb * (riota > i).astype(cdt), axis=0, keepdims=True)
+        yi = jnp.sum(y * ohi, axis=0, keepdims=True)
+        di = jnp.sum(Ldiag * ohi, axis=0, keepdims=True)
+        li = jnp.sum(live * ohi, axis=0, keepdims=True)
+        return sb + ohi * (li * (yi - s) / di)
+
+    Sb_bar = jax.lax.fori_loop(0, k, bsub2_step, jnp.zeros_like(validp))
+
+    kni_bar = (Sb_bar - b * F_bar) * maskk * validp  # (kpp, Bt)
+    # Ḡ_sym: outer products of (kpp, Bt) pieces — no transposes
+    G_bar = (
+        -0.5 * (Sb_bar[:, None, :] * b[None, :, :]
+                + b[:, None, :] * Sb_bar[None, :, :]) * pm
+        + 0.5 * (kni_bar[:, None, :] * ohk[None, :, :]
+                 + ohk[:, None, :] * kni_bar[None, :, :])
+        + F_bar * (ohk[:, None, :] * ohk[None, :, :])
+    )
+    (r2_bar,) = fn_vjp(G_bar)
+
+    out = []
+    for d in range(D):
+        # Σ_j r̄2[t, j]·dd[t, j] = −Σ_i (r̄2·dd)[i, t]  (r̄2 sym, dd antisym)
+        out.append(-4.0 * jnp.sum(r2_bar * dds[d], axis=0))
+    xwbar_ref[:] = jnp.stack(out, axis=0).astype(xwbar_ref.dtype)
+
+
+def _vecchia_band_lanes_bwd_pallas_t(xwT, validpT, gbarT, k_of_r2, block):
+    """Fused Pallas pullback over the batch grid, TRANSPOSED layout in and
+    out: xwT (D, kp1, N), validpT (kp1, N) incl. the always-1 slot-k row,
+    gbarT (kp1, N) → xwT_bar (D, kp1, N)."""
+    D, kp1, N = xwT.shape
+    block = min(block, N)
+    pad = (-N) % block
+    if pad:
+        xwT = jnp.concatenate(
+            [xwT, jnp.broadcast_to(xwT[:, :, :1], (D, kp1, pad))], axis=2
+        )
+        validpT = jnp.concatenate(
+            [validpT, jnp.zeros((kp1, pad), validpT.dtype)], axis=1
+        )
+        gbarT = jnp.concatenate(
+            [gbarT, jnp.zeros((kp1, pad), gbarT.dtype)], axis=1
+        )
+    Np = N + pad
+
+    interpret = config.pallas_interpret or jax.default_backend() != "tpu"
+    cdt = jnp.promote_types(xwT.dtype, jnp.float32)
+
+    xwbar = pl.pallas_call(
+        partial(_vecchia_band_bwd_kernel_lanes, k_of_r2=k_of_r2, kp1=kp1),
+        out_shape=jax.ShapeDtypeStruct((D, kp1, Np), xwT.dtype),
+        grid=(Np // block,),
+        in_specs=[
+            pl.BlockSpec((D, kp1, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((kp1, block), lambda i: (0, i)),
+            pl.BlockSpec((kp1, block), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((D, kp1, block), lambda i: (0, 0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((kp1, kp1, block), cdt),
+            pltpu.VMEM((kp1, kp1, block), cdt),
+        ],
+        interpret=interpret,
+    )(xwT, validpT, gbarT)
+    return xwbar[:, :, :N]
+
+
+def _vecchia_band_lanes_bwd_pallas(xw, valid, k_of_r2, gbar, block):
+    """Untransposed-layout wrapper of the fused Pallas pullback."""
+    N, D, kp1 = xw.shape
+    xwT = jnp.transpose(xw, (1, 2, 0))
+    validpT = jnp.concatenate(
+        [valid.swapaxes(0, 1), jnp.ones((1, N), valid.dtype)], axis=0
+    )
+    xwbarT = _vecchia_band_lanes_bwd_pallas_t(
+        xwT, validpT, gbar.swapaxes(0, 1), k_of_r2, block
+    )
+    return jnp.transpose(xwbarT, (2, 0, 1))  # (N, D, kp1)
+
+
 def _vecchia_band_lanes_fwd(xw, valid, k_of_r2, block, panel):
     return (
         _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel),
@@ -806,7 +1019,103 @@ def _vecchia_band_lanes_fwd(xw, valid, k_of_r2, block, panel):
 
 
 def _vecchia_band_lanes_bwd(k_of_r2, block, panel, residuals, gbar):
-    return _vecchia_band_bwd(k_of_r2, None, None, 16384, residuals, gbar)
+    xw, valid = residuals
+    # block 128: the backward keeps ~6 rank-3 (kp1, kp1, Bt) arrays live
+    # (r2, dds, Ḡ, vjp residual + the two scratch factors) — half the
+    # forward's batch tile keeps the working set inside scoped VMEM
+    xw_bar = _vecchia_band_lanes_bwd_pallas(xw, valid, k_of_r2, gbar, 128)
+    return xw_bar, jnp.zeros_like(valid)
 
 
 pallas_vecchia_band_lanes.defvjp(_vecchia_band_lanes_fwd, _vecchia_band_lanes_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def pallas_vecchia_band_lanes_t(
+    xwT: jax.Array, validT: jax.Array, k_of_r2, block: int = 256,
+    panel: int = 1,
+) -> jax.Array:
+    """Transposed-layout twin of :func:`pallas_vecchia_band_lanes`:
+    ``xwT`` (D, k+1, N) windows (slot k = the point), ``validT`` (k, N)
+    neighbor mask; returns the (N, k+1) band.
+
+    This is the layout the kernel runs in anyway — taking it directly lets
+    callers BUILD the windows N-minor.  That matters for sliding (previous-
+    k) windows from 1-D inputs: the (N, D, k+1) layout forces (N, 1)-shaped
+    slice intermediates, which the TPU (8, 128) tiling pads 128× (measured
+    488 MB copies at N=1e6 — an OOM, not just waste)."""
+    return _vecchia_band_lanes_forward_t(xwT, validT, k_of_r2, block, panel)
+
+
+def _vecchia_band_lanes_forward_t(xwT, validT, k_of_r2, block, panel):
+    D, kp1, N = xwT.shape
+    k = kp1 - 1
+    out_dtype = xwT.dtype
+    block = min(block, N)
+    pad = (-N) % block
+    if pad:
+        xwT = jnp.concatenate(
+            [xwT, jnp.broadcast_to(xwT[:, :, :1], (D, kp1, pad))], axis=2
+        )
+        validT = jnp.concatenate(
+            [validT, jnp.zeros((k, pad), validT.dtype)], axis=1
+        )
+    Np = N + pad
+
+    kpp = kp1 + ((-kp1) % panel)
+    if kpp > kp1:
+        xwT = jnp.concatenate(
+            [xwT, jnp.broadcast_to(xwT[:, :1], (D, kpp - kp1, Np))], axis=1
+        )
+    validpT = jnp.concatenate(
+        [
+            validT,
+            jnp.ones((1, Np), validT.dtype),
+            jnp.zeros((kpp - kp1, Np), validT.dtype),
+        ],
+        axis=0,
+    )
+
+    interpret = config.pallas_interpret or jax.default_backend() != "tpu"
+    cdt = jnp.promote_types(out_dtype, jnp.float32)
+
+    out = pl.pallas_call(
+        partial(_vecchia_band_kernel_lanes, k_of_r2=k_of_r2, kp1=kp1,
+                panel=panel),
+        out_shape=jax.ShapeDtypeStruct((kp1, Np), out_dtype),
+        grid=(Np // block,),
+        in_specs=[
+            pl.BlockSpec((D, kpp, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((kpp, block), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((kp1, block), lambda i: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((kpp, kpp, block), cdt),
+            pltpu.VMEM((kpp, kpp, block), cdt),
+        ],
+        interpret=interpret,
+    )(xwT, validpT)
+    return out.swapaxes(0, 1)[:N]
+
+
+def _vecchia_band_lanes_t_fwd(xwT, validT, k_of_r2, block, panel):
+    return (
+        _vecchia_band_lanes_forward_t(xwT, validT, k_of_r2, block, panel),
+        (xwT, validT),
+    )
+
+
+def _vecchia_band_lanes_t_bwd(k_of_r2, block, panel, residuals, gbar):
+    xwT, validT = residuals
+    N = xwT.shape[2]
+    validpT = jnp.concatenate(
+        [validT, jnp.ones((1, N), validT.dtype)], axis=0
+    )
+    xwT_bar = _vecchia_band_lanes_bwd_pallas_t(
+        xwT, validpT, gbar.swapaxes(0, 1), k_of_r2, 128
+    )
+    return xwT_bar, jnp.zeros_like(validT)
+
+
+pallas_vecchia_band_lanes_t.defvjp(_vecchia_band_lanes_t_fwd,
+                                   _vecchia_band_lanes_t_bwd)

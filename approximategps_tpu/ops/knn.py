@@ -67,6 +67,31 @@ def knn_search(
     Xb_p = jnp.concatenate([Xb, jnp.zeros((pad_m, d), dtype)]) if pad_m else Xb
     test_tiles = Xb_p.reshape(-1, sb, d)
 
+    # Exact segmented pruning for the per-tile top-k: lax.top_k over the
+    # full (sb, tb=65536) tile is the sweep's dominant cost (measured
+    # ~127 µs/test point at N=1e6 — the distance matmul itself is ~0.1 µs).
+    # Split the tile into segments of ``seg``; the k segments with the
+    # smallest MINIMUM provably contain every true top-k point (a top-k
+    # point's segment has min ≤ its distance ≤ d_k ≤ the k-th smallest
+    # segment-min), so the top-k runs over k·seg gathered candidates
+    # instead of tb.  Exact up to distance TIES at the segment boundary
+    # (a tied point may be swapped for an equal-distance one).
+    seg = 64
+
+    def tile_topk(d2):  # (sb, tb) → (neg_d2 (sb,k), j (sb,k) tile-local)
+        tb_ = d2.shape[1]
+        if tb_ % seg or tb_ < 4 * k * seg:
+            return jax.lax.top_k(-d2, k)
+        S = tb_ // seg
+        d2r = d2.reshape(d2.shape[0], S, seg)
+        segmin = jnp.min(d2r, axis=2)  # (sb, S)
+        _, sidx = jax.lax.top_k(-segmin, k)  # (sb, k) segment ids
+        cand = jnp.take_along_axis(d2r, sidx[:, :, None], axis=1)
+        neg_d2, jloc = jax.lax.top_k(-cand.reshape(d2.shape[0], k * seg), k)
+        seg_of = jloc // seg
+        j = jnp.take_along_axis(sidx, seg_of, axis=1) * seg + jloc % seg
+        return neg_d2, j
+
     def per_test_tile(Q):  # (sb, d)
         def step(carry, tile):
             best_d2, best_idx = carry  # (sb, k) each
@@ -75,7 +100,7 @@ def knn_search(
             d2 = jnp.where(valid[None, :], d2, big)
             # per-tile top-k (negate: top_k is max-k), then merge with the
             # running best via a top-k over the 2k concatenated candidates
-            neg_d2, j = jax.lax.top_k(-d2, k)  # (sb, k)
+            neg_d2, j = tile_topk(d2)  # (sb, k)
             cand_d2 = jnp.concatenate([best_d2, -neg_d2], axis=1)
             cand_idx = jnp.concatenate(
                 [best_idx, (base + j).astype(jnp.int32)], axis=1

@@ -126,6 +126,46 @@ def main():
         float(jnp.abs(v_w.mean(x_w) - e_w.mean(x_w)).max()) < 0.1,
     )
 
+    print("Vecchia training-step grad parity at scale (N=1e5, f32):")
+    # VERDICT r3 item 2: TPU f32 gradient parity at N >= 1e5 — the fused
+    # Pallas band path (value via the lanes kernel, pullback via the chunked
+    # recompute) against the forced-XLA batched path, lml AND hyper-grads.
+    Np = 100_000
+    xp_ = jnp.linspace(0.0, float(Np), Np, dtype=jnp.float32)
+    yp_ = jnp.sin(xp_ / 3.0)
+
+    def v_lml(theta, x, y, use_pallas):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.Matern32Kernel(), jax.nn.softplus(theta[1])
+        )
+        nn = agp.NearestNeighbors(32, block_size=8192, use_pallas=use_pallas)
+        return agp.approx_lml(nn, agp.GP(kern)(x, 0.0), y)
+
+    theta0 = jnp.array([0.55, 0.55], jnp.float32)
+    vg = jax.jit(jax.value_and_grad(v_lml), static_argnums=3)
+    v_p, g_p = vg(theta0, xp_, yp_, True)
+    v_x, g_x = vg(theta0, xp_, yp_, False)
+    rel_v = abs(float(v_p) - float(v_x)) / max(1.0, abs(float(v_x)))
+    rel_g = float(
+        jnp.max(jnp.abs(g_p - g_x)) / jnp.maximum(jnp.max(jnp.abs(g_x)), 1e-30)
+    )
+    # grad tolerance 1e-2: the residual gap is the XLA path's f32 noise,
+    # not the production path's — measured on THIS fixture against the CPU
+    # f64 oracle grad [-24349.93, 29322.82]: pallas [-24351.05, 29324.12]
+    # (rel 4.6e-5), xla [-24351.05, 29213.46] (rel 3.7e-3 on the
+    # lengthscale component; batch-leading masked-math accumulation)
+    check(f"vecchia N=1e5 lml parity pallas-vs-xla (rel {rel_v:.1e})",
+          rel_v < 1e-4)
+    check(f"vecchia N=1e5 hyper-grad parity pallas-vs-xla (rel {rel_g:.1e})",
+          rel_g < 1e-2)
+    # the production (pallas) lml sits within f32 class of the f64 oracle
+    # value on this fixture
+    check(
+        f"vecchia N=1e5 lml vs f64 oracle (rel "
+        f"{abs(float(v_p) + 89265.93692) / 89265.93692:.1e})",
+        abs(float(v_p) + 89265.93692) / 89265.93692 < 1e-4,
+    )
+
     print("Pallas gram:")
     from approximategps_tpu.config import config_context
 

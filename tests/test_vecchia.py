@@ -616,3 +616,24 @@ def test_native_grid_preprocessing_matches_brute():
     np.testing.assert_array_equal(
         sc, brute(onat.scaled_ball_predecessors, X, order, 3.0, 9)
     )
+
+
+def test_knn_search_segmented_pruning_exact(key):
+    """The segmented-pruning tile top-k (engaged at train_block >= 4·k·seg)
+    returns EXACTLY the brute-force k nearest — the k smallest segment-mins
+    provably cover every true top-k point."""
+    from approximategps_tpu.ops.knn import knn_search
+
+    k1, k2 = jax.random.split(key)
+    Xtr = jax.random.normal(k1, (9000, 2))
+    Xte = jax.random.normal(k2, (150, 2))
+    idx, d2 = knn_search(Xtr, Xte, k=8, train_block=8192, test_block=64)
+    D = np.sum(
+        (np.asarray(Xte)[:, None, :] - np.asarray(Xtr)[None, :, :]) ** 2, -1
+    )
+    ref = np.sort(D, axis=1)[:, :8]
+    np.testing.assert_allclose(np.sort(np.asarray(d2), axis=1), ref,
+                               rtol=1e-12, atol=1e-12)
+    got = np.take_along_axis(D, np.sort(np.asarray(idx), axis=1), axis=1)
+    np.testing.assert_allclose(np.sort(got, axis=1), ref, rtol=1e-12,
+                               atol=1e-12)
