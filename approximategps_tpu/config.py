@@ -93,11 +93,17 @@ class _Config:
                                                "high")
     # Storage dtype for the large O(M·B) projection intermediates (Kuf, A,
     # BᵀA) in the SVGP data-term path:
-    #   "float32":  full-width storage (default)
-    #   "bfloat16": bf16 storage with f32 MXU accumulation — halves the HBM
-    #               traffic of the step's biggest tensors; master params,
-    #               factorizations, KL and all reductions stay f32.
-    compute_dtype: str = os.environ.get("AGP_COMPUTE_DTYPE", "float32")
+    #   "auto":     bf16 storage on TPU for f32 inputs at
+    #               M >= tri_matmul_min_m (where the projections' HBM
+    #               traffic floors the step: M=8192 80.0 → 74.9 ms; a wash
+    #               at M=2048 — measured A/B), f32 otherwise (default)
+    #   "float32":  full-width storage everywhere
+    #   "bfloat16": bf16 storage with f32 MXU accumulation at ANY size —
+    #               halves the HBM traffic of the step's biggest tensors;
+    #               master params, factorizations, KL and all reductions
+    #               stay f32.  Accuracy class 1e-3 relative
+    #               (test_bf16_compute_dtype_accuracy).
+    compute_dtype: str = os.environ.get("AGP_COMPUTE_DTYPE", "auto")
     # Smallest M at which the chol/inv pullback switches its Φ-sandwich to
     # triangular-aware narrowing block matmuls (core/linalg.py
     # matmul_left_upper & co — skip ~44% of the flops at nb=8).  At small M

@@ -109,13 +109,35 @@ class _SVGPCache:
     S_corr: jax.Array | None = None
 
 
-def _storage_dtype(dtype):
+def _storage_dtype(dtype, M=None):
     """bf16 storage dtype for the big projection intermediates, or None.
 
-    Only active for f32 inputs under ``config.compute_dtype="bfloat16"`` —
-    f64 oracle mode is never downcast."""
-    if config.compute_dtype == "bfloat16" and dtype == jnp.float32:
+    ``config.compute_dtype``:
+    - "auto" (default): bf16 storage on TPU for f32 inputs at
+      M >= ``tri_matmul_min_m`` — where the (M, B) projections' HBM traffic
+      is the step's floor it wins (M=8192 step 80.0 → 74.9 ms measured),
+      while at M=2048 it is a wash (3.42 vs 3.50 ms A/B, re-measured r4
+      after the pullback collapse) so f32 stays;
+    - "bfloat16": force bf16 storage for f32 inputs at any size;
+    - "float32": full-width storage everywhere.
+
+    f64 oracle mode is never downcast.  Accuracy class under bf16 storage
+    is 1e-3 relative (pinned by ``test_bf16_compute_dtype_accuracy``);
+    master params, factorizations, KL and all reductions stay f32."""
+    mode = config.compute_dtype
+    if dtype != jnp.float32:
+        return None
+    if mode == "bfloat16":
         return jnp.bfloat16
+    if mode == "auto":
+        import jax
+
+        if (
+            jax.default_backend() == "tpu"
+            and M is not None
+            and M >= getattr(config, "tri_matmul_min_m", 4096)
+        ):
+            return jnp.bfloat16
     return None
 
 
@@ -155,7 +177,7 @@ class SVGPPosterior(AbstractGP):
     def _A_and_Kuf(self, x):
         Kuf = self.prior.cov(self.inducing_points(), x)
         if self.cache.Lk_inv is not None:
-            dt = _storage_dtype(Kuf.dtype)
+            dt = _storage_dtype(Kuf.dtype, Kuf.shape[0])
             if dt is not None:
                 # bf16 storage: the cast fuses into the Gram producer, so the
                 # (M, B) intermediates hit HBM at half width; the MXU still
@@ -186,7 +208,7 @@ class SVGPPosterior(AbstractGP):
         return self.prior.mean(x) + _matvec_f32(Kuf.T, self.cache.alpha)
 
     def _BtA(self, A):
-        dt = _storage_dtype(self.cache.B.dtype)
+        dt = _storage_dtype(self.cache.B.dtype, self.cache.B.shape[0])
         if _tri_proj(A.shape[0]):
             # cache.B is exactly lower-triangular: _posterior_svgp trils
             # scale_tril once at build time (NonCentered), and the Centered
@@ -223,7 +245,7 @@ class SVGPPosterior(AbstractGP):
         if Kuf is None:
             Kuf = self.prior.cov(self.inducing_points(), x)
         S = self.cache.S_corr
-        dt = _storage_dtype(Kuf.dtype)
+        dt = _storage_dtype(Kuf.dtype, Kuf.shape[0])
         if dt is not None:
             corr = linalg.diag_quad_sym(S.astype(dt), Kuf.astype(dt))
         else:

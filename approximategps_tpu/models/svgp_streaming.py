@@ -130,7 +130,7 @@ def streaming_data_term(
             var = var.astype(xi.dtype)
         else:
             Kuf = prior.cov(z, xi)  # (M, B) Gram — HOT
-            dt = _storage_dtype(Kuf.dtype)
+            dt = _storage_dtype(Kuf.dtype, Kuf.shape[0])
             if dt is not None:
                 # bf16 storage for the block intermediates; f32 accumulation
                 corr = linalg.diag_quad_sym(S_corr.astype(dt), Kuf.astype(dt))

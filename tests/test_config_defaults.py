@@ -95,3 +95,26 @@ def test_posterior_uses_fast_cache_on_mocked_tpu(monkeypatch):
         assert post32.cache.S_corr is not None
         post64 = build(jnp.float64)
         assert post64.cache.Lk_inv is None
+
+
+def test_auto_compute_dtype_gates_on_m(monkeypatch):
+    """compute_dtype='auto' (the default): bf16 projection storage engages
+    on TPU f32 only at M >= tri_matmul_min_m — where the (M, B) HBM traffic
+    floors the step (M=8192: 80.0 -> 74.9 ms); a wash at M=2048 (measured
+    A/B), so f32 stays there.  f64 oracle inputs are never downcast."""
+    from approximategps_tpu.models.svgp import _storage_dtype
+
+    assert config.compute_dtype == "auto"
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _storage_dtype(jnp.float32, 8192) == jnp.bfloat16
+    assert _storage_dtype(jnp.float32, 4096) == jnp.bfloat16
+    assert _storage_dtype(jnp.float32, 2048) is None
+    assert _storage_dtype(jnp.float32, None) is None
+    assert _storage_dtype(jnp.float64, 8192) is None
+    with config_context(compute_dtype="bfloat16"):
+        assert _storage_dtype(jnp.float32, 32) == jnp.bfloat16
+    with config_context(compute_dtype="float32"):
+        assert _storage_dtype(jnp.float32, 8192) is None
+    # off-TPU auto never downcasts
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert _storage_dtype(jnp.float32, 8192) is None
