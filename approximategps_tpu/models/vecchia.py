@@ -477,15 +477,21 @@ def predict_knn(
     k: int = 32,
     test_block: int = 4096,
     train_block: int = 65536,
+    knn_mode: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """Vecchia serving: independent-conditioning (local-kriging) prediction —
     each test point conditions ONLY on its k nearest noisy observations
     (Katzfuss & Guinness 2021, prediction conditioning sets).
 
-    O(N*·(N·D/train_block-scan + k²)) time and O(test_block · train_block)
-    peak memory — no (N, N*) cross-covariance ever exists, unlike the
+    O(N*·(search + k²)) time and O(test_block · train_block) peak memory —
+    no (N, N*) cross-covariance ever exists, unlike the
     posterior-masquerade path (reference ``NearestNeighborsModule.jl:97-106``
     and :class:`BandInvRoot`, whose ``mean``/``var`` build dense cross-covs).
+    For spatial inputs (D ≤ 3, the Vecchia regime) the search rides the
+    bucketed-grid tier of :func:`~approximategps_tpu.ops.knn.knn_search`
+    (``knn_mode="auto"``): O(3^D·cell-occupancy) gathered candidates per
+    test point instead of the O(N) blocked sweep, exactness certified on
+    device with per-tile fallback.
     Fully jittable, static shapes: the device-side blocked k-NN search
     (:func:`~approximategps_tpu.ops.knn.knn_search`) feeds the SAME batched
     masked-Cholesky band op as training — the band row [−b·F^{−1/2}, F^{−1/2}]
@@ -506,7 +512,7 @@ def predict_knn(
     N = Xp.shape[0]
     kern = fx.f.kernel
     k = min(k, N)
-    idx, _ = knn_search(Xp, Xs, k, train_block, test_block)  # (N*, k)
+    idx, _ = knn_search(Xp, Xs, k, train_block, test_block, knn_mode)  # (N*, k)
 
     delta = y - fx.mean()  # (N,)
     noise = jnp.asarray(fx.noise)

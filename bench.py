@@ -259,16 +259,16 @@ def vecchia_build(N=1_000_000, k=32, block=8192, iters=3):
     return chained_step_ms(make_run, iters=iters)
 
 
-def vecchia_predict_knn_sweep(N=1_000_000, Ntest=200_000, k=32, iters=1):
+def vecchia_predict_knn_sweep(N=1_000_000, Ntest=1_000_000, k=32, iters=1):
     """Vecchia serving: 1e6-train/1e6-test mean+var through predict_knn —
-    device-side blocked k-NN search + batched local-kriging band solves.
+    device-side k-NN search + batched local-kriging band solves.
     No (N, N*) cross-covariance ever exists (the PosteriorGP masquerade
-    path would need 4 TB for it); peak live memory is the
-    (test_block, train_block) distance tile.
+    path would need 4 TB for it).
 
-    Default Ntest=2e5: the cost is exactly linear in Ntest (independent
-    per-point sweeps), and a full 1e6-point single program runs >2 min,
-    which trips the tunneled worker's watchdog (observed crash)."""
+    The search rides the bucketed-grid spatial tier (2-D inputs, auto
+    mode): 2.5 µs/test point vs the blocked scan's 73, which also made the
+    full 1e6-test single program fit the tunneled worker's watchdog (the
+    scan tier ran >2 min and crashed it — that row was capped at 2e5)."""
     import approximategps_tpu as agp
 
     dtype = jnp.float32
@@ -727,7 +727,7 @@ def main():
                 vecchia_sparse_build,
             ),
             (
-                "vecchia_predict_knn_sweep_ms(N=1e6,Ntest=2e5,k=32)",
+                "vecchia_predict_knn_sweep_ms(N=1e6,Ntest=1e6,k=32)",
                 vecchia_predict_knn_sweep,
             ),
             ("block_vecchia_lml_ms(N=1e6,b=64,k=64)", block_vecchia_lml),

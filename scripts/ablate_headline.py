@@ -35,7 +35,10 @@ from approximategps_tpu.utils.bijectors import softplus  # noqa: E402
 
 set_config(gram_mode="mxu", matmul_precision="default", solve_mode="inv_matmul")
 
-M, B, D = 2048, 8192, 8
+import os
+M = int(os.environ.get("ABLATE_M", "2048"))
+B = int(os.environ.get("ABLATE_B", "8192"))
+D = int(os.environ.get("ABLATE_D", "8"))
 key = jax.random.PRNGKey(0)
 dtype = jnp.float32
 Z = jax.random.normal(key, (M, D), dtype)
@@ -111,8 +114,9 @@ def build_loss(p):
 
     post = _posterior_svgp(sva)
     c = post.cache
+    s_corr_term = jnp.sum(c.S_corr) if c.S_corr is not None else jnp.sum(c.B)
     out = (
-        jnp.sum(c.S_corr)
+        s_corr_term
         + jnp.sum(c.alpha)
         + prior_kl(sva)
     )

@@ -386,6 +386,61 @@ def test_knn_search_matches_bruteforce(key):
     np.testing.assert_allclose(np.asarray(d2), np.sort(D, 1)[:, :5], atol=1e-9)
 
 
+def test_knn_search_grid_matches_scan(key):
+    """The bucketed-grid spatial k-NN tier returns EXACTLY the blocked-scan
+    distances in d=1/2/3 — including test points outside the training
+    bounding box (their clipped cells keep the one-ring guarantee valid)."""
+    from approximategps_tpu.ops.knn import knn_search
+
+    for d in (1, 2, 3):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, d))
+        Xtr = jax.random.normal(k1, (20000, d))
+        Xte = jax.random.normal(k2, (300, d)) * 1.6  # some outside the bbox
+        run = jax.jit(
+            lambda a, b, mode: knn_search(a, b, 7, test_block=128, mode=mode),
+            static_argnums=2,
+        )
+        idx_g, d2_g = run(Xtr, Xte, "grid")
+        idx_s, d2_s = run(Xtr, Xte, "scan")
+        np.testing.assert_array_equal(np.asarray(d2_g), np.asarray(d2_s))
+        # ties may swap indices; the gathered distances must still agree
+        D = np.sum(
+            (np.asarray(Xte)[:, None, :] - np.asarray(Xtr)[None, :, :]) ** 2,
+            -1,
+        )
+        got = np.take_along_axis(D, np.asarray(idx_g), axis=1)
+        # rtol covers f64 summation-association noise vs numpy pairwise sum
+        np.testing.assert_allclose(got, np.asarray(d2_g), rtol=1e-12,
+                                   atol=1e-12)
+
+
+def test_knn_search_grid_fallback_exact(key):
+    """Grid tiles whose exactness certificate fails (test points in empty
+    space: the k-th distance exceeds the one-ring guarantee radius) fall
+    back to the blocked scan via lax.cond — results stay exact."""
+    from approximategps_tpu.ops.knn import knn_search
+
+    k1, k2 = jax.random.split(key)
+    # dense core + a far cluster -> highly non-uniform cells
+    Xtr = jnp.concatenate(
+        [
+            jax.random.normal(k1, (8000, 2)) * 0.01,
+            jax.random.normal(k2, (2000, 2)) * 2.0 + 8.0,
+        ]
+    )
+    # test points in the void between the clusters: d_k >> cell size there
+    Xte = jnp.stack(
+        [jnp.linspace(-1.0, 9.0, 160), jnp.linspace(9.0, -1.0, 160)], axis=1
+    )
+    run = jax.jit(
+        lambda a, b, mode: knn_search(a, b, 9, test_block=64, mode=mode),
+        static_argnums=2,
+    )
+    idx_g, d2_g = run(Xtr, Xte, "grid")
+    _, d2_s = run(Xtr, Xte, "scan")
+    np.testing.assert_array_equal(np.asarray(d2_g), np.asarray(d2_s))
+
+
 def test_predict_knn_exact_at_full_k_and_approx(key):
     """Vecchia serving (predict_knn): conditioning on ALL observations (k=N)
     reproduces the exact GP posterior mean/var — for scalar AND per-point
