@@ -440,6 +440,57 @@ def unwrap_stationary(kern: Kernel):
     return fn, scale, variance
 
 
+def _unwrap_white(kern: Kernel):
+    """``σ²·White`` nests → the traced σ² (or None).  Input scaling is
+    absorbed: a positive rescaling preserves point (in)equality, so the
+    white map is unchanged on distinct points."""
+    variance = None
+    while True:
+        if isinstance(kern, ScaledKernel):
+            v = jnp.asarray(kern.variance)
+            variance = v if variance is None else variance * v
+            kern = kern.inner
+        elif isinstance(kern, InputScaledKernel):
+            kern = kern.inner
+        else:
+            break
+    if not isinstance(kern, WhiteKernel):
+        return None
+    return jnp.ones(()) if variance is None else variance
+
+
+def unwrap_stationary_nugget(kern: Kernel):
+    """:func:`unwrap_stationary` extended to a NUGGET term: decomposes
+    ``σ²·(base ∘ ScaleTransform(s)) [+ τ²·White]`` into
+    ``(static k_of_r2, input_scale, variance, nugget)`` with ``nugget`` the
+    traced τ² (None when there is no white term), or None if the kernel is
+    not of that form.
+
+    This is the standard noisy-data Vecchia training model (the precision
+    root ignores FiniteGP observation noise, reference parity), and lets
+    the fused band kernels keep the nugget on the Pallas tier: the white
+    term becomes ``(τ²/σ²)·[r² == 0]`` inside the window Gram — exact
+    value-equality semantics for DISTINCT points (coincident points would
+    couple through the nugget here but not in the index-identity XLA
+    window gram; spatial datasets with duplicated sites should dedupe)."""
+    if isinstance(kern, SumKernel):
+        for a, b in ((kern.left, kern.right), (kern.right, kern.left)):
+            white = _unwrap_white(b)
+            if white is None:
+                continue
+            base = unwrap_stationary(a)
+            if base is None:
+                return None
+            fn, scale, variance = base
+            return fn, scale, variance, white
+        return None
+    base = unwrap_stationary(kern)
+    if base is None:
+        return None
+    fn, scale, variance = base
+    return fn, scale, variance, None
+
+
 @pytree_dataclass
 class SumKernel(Kernel):
     left: Kernel

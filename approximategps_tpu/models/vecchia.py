@@ -174,8 +174,11 @@ def _resolve_use_pallas(use_pallas, dtype=None):
 def _fused_band(Xp: jax.Array, k: int, kern: Kernel, nbr=None):
     """Fully fused Pallas path: returns the (N, k+1) band or None if the
     kernel is not an (input-/output-)scaled parameter-free stationary
-    kernel.  Lengthscales fold into the inputs; the variance post-scales the
-    band exactly (U(σ²k) = U(k)/σ).
+    kernel, optionally plus a white-noise NUGGET term (``σ²·k + τ²·White``
+    — the noisy-data training model; the nugget becomes a traced Gram
+    diagonal shift τ²/σ² inside the kernel, value-equality semantics for
+    distinct points).  Lengthscales fold into the inputs; the variance
+    post-scales the band exactly (U(σ²k) = U(k)/σ).
 
     ``nbr=None`` conditions on the previous k points in the ordering (the
     banded reference scheme); an explicit (N, k) ``nbr`` index matrix (−1
@@ -186,16 +189,21 @@ def _fused_band(Xp: jax.Array, k: int, kern: Kernel, nbr=None):
     Runs the batch-on-lanes kernel
     (:func:`~approximategps_tpu.ops.batched_chol.pallas_vecchia_band_lanes`)
     — the batch rides the 128-lane axis at full occupancy."""
-    from ..core.kernels import unwrap_stationary
+    from ..core.kernels import unwrap_stationary_nugget
     from ..ops.batched_chol import (
         pallas_vecchia_band_lanes,
         pallas_vecchia_band_lanes_t,
     )
 
-    unwrapped = unwrap_stationary(kern)
+    unwrapped = unwrap_stationary_nugget(kern)
     if unwrapped is None:
         return None
-    fn, scale, variance = unwrapped
+    fn, scale, variance, white = unwrapped
+    ratio = None
+    if white is not None:
+        ratio = jnp.asarray(white, Xp.dtype)
+        if variance is not None:
+            ratio = ratio / jnp.asarray(variance, Xp.dtype)
     Xs = Xp if scale is None else Xp * jnp.asarray(scale, Xp.dtype)
     N, D = Xs.shape
     if nbr is None:
@@ -222,14 +230,14 @@ def _fused_band(Xp: jax.Array, k: int, kern: Kernel, nbr=None):
         validT = jnp.stack(
             [(iota >= k - t).astype(Xs.dtype) for t in range(k)], axis=0
         )  # (k, N)
-        Uband = pallas_vecchia_band_lanes_t(xwT, validT, fn)
+        Uband = pallas_vecchia_band_lanes_t(xwT, validT, fn, nugget=ratio)
     else:
         idx = nbr
         valid = (idx >= 0).astype(Xs.dtype)
         idxc = jnp.clip(idx, 0, N - 1)
         # (N, D, k+1): window slot k is the point itself
         xw = jnp.concatenate([Xs[idxc], Xs[:, None, :]], axis=1).swapaxes(1, 2)
-        Uband = pallas_vecchia_band_lanes(xw, valid, fn)
+        Uband = pallas_vecchia_band_lanes(xw, valid, fn, nugget=ratio)
     if variance is not None:
         Uband = Uband / jnp.sqrt(jnp.asarray(variance, Uband.dtype))
     return Uband

@@ -596,10 +596,17 @@ pallas_vecchia_band.defvjp(_vecchia_band_fwd, _vecchia_band_bwd)
 
 
 def _vecchia_band_kernel_lanes(
-    xw_ref, validp_ref, out_ref, ares_ref, lst_ref, *, k_of_r2, kp1: int,
-    panel: int
+    xw_ref, validp_ref, *refs, k_of_r2, kp1: int, panel: int,
+    nugget: bool = False
 ):
     """Fused window → Gram → bordered-Cholesky → band, batch on lanes.
+
+    ``nugget=True`` threads one extra SMEM scalar input (the τ²/σ² ratio of
+    a ``σ²·k + τ²·White`` kernel after variance normalization): the window
+    Gram gains ``ratio·I`` on its valid diagonal — exact value-equality
+    white semantics for distinct points, keeping noisy-data Vecchia
+    training on the fused tier (see ``core.kernels
+    .unwrap_stationary_nugget``).
 
     Refs: xw (D, kpp, Bt) windows (slot k = kp1−1 is the conditioned point,
     slots ≥ kp1 are panel padding), validp (kpp, Bt) 0/1 neighbor mask
@@ -622,6 +629,11 @@ def _vecchia_band_kernel_lanes(
     ``panel``-column right-looking panels: the full-matrix Schur update —
     the VMEM-bandwidth-dominant op — runs once per panel as a rank-P update
     instead of once per column, cutting scratch traffic by P."""
+    if nugget:
+        nug_ref, out_ref, ares_ref, lst_ref = refs
+    else:
+        nug_ref = None
+        out_ref, ares_ref, lst_ref = refs
     cdt = ares_ref.dtype
     w = xw_ref[:].astype(cdt)  # (D, kpp, Bt)
     validp = validp_ref[:].astype(cdt)  # (kpp, Bt)
@@ -648,6 +660,10 @@ def _vecchia_band_kernel_lanes(
     ).astype(cdt)
     pm = validp[:, None, :] * validp[None, :, :]  # (kpp, kpp, Bt)
     Gm = G * pm + (1.0 - pm) * eye
+    if nug_ref is not None:
+        # valid-diagonal nugget (slot k's validp is always 1, pads stay
+        # identity): Gm[j, j] += ratio for real window slots
+        Gm = Gm + nug_ref[0, 0].astype(cdt) * (eye * pm)
 
     diag0 = jnp.sum(Gm * eye, axis=0)  # (kpp, Bt) original diagonal
     floors = 8.0 * eps * jnp.abs(diag0)
@@ -723,7 +739,7 @@ def _vecchia_band_kernel_lanes(
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def pallas_vecchia_band_lanes(
     xw: jax.Array, valid: jax.Array, k_of_r2, block: int = 256,
-    panel: int = 1,
+    panel: int = 1, nugget: jax.Array | None = None,
 ) -> jax.Array:
     """Fused Vecchia band rows from point windows, batch-on-lanes layout.
 
@@ -745,11 +761,22 @@ def pallas_vecchia_band_lanes(
     P=2/4/8 vs 334 ms at P=1) — default 1, kept as a tuning knob for
     other k/hardware.
 
-    Differentiable w.r.t. ``xw`` via the shared XLA recompute pullback."""
-    return _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel)
+    ``nugget``: optional traced scalar — the window Gram becomes
+    ``g(r²) + nugget·I`` on the valid diagonal (the variance-normalized
+    τ²/σ² of a ``σ²·k + τ²·White`` kernel), keeping noisy-data training on
+    the fused tier.  Differentiable: coordinate cotangents are unchanged
+    (the shift is flat in r² a.e.) and the nugget cotangent
+    ``Σ diag(Ḡ) = F̄ − Σⱼ (Kw⁻¹b̄)ⱼ bⱼ`` falls out of quantities the
+    fused pullback already carries.
+
+    Differentiable w.r.t. ``xw`` (and ``nugget``) via the fused Pallas
+    pullback."""
+    return _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel,
+                                       nugget)
 
 
-def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel):
+def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel,
+                                nugget=None):
     N, D, kp1 = xw.shape
     k = kp1 - 1
     out_dtype = xw.dtype
@@ -780,28 +807,34 @@ def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel):
     interpret = config.pallas_interpret or jax.default_backend() != "tpu"
     cdt = jnp.promote_types(out_dtype, jnp.float32)
 
+    args = [xwT, validpT]
+    in_specs = [
+        pl.BlockSpec((D, kpp, block), lambda i: (0, 0, i)),
+        pl.BlockSpec((kpp, block), lambda i: (0, i)),
+    ]
+    if nugget is not None:
+        args.append(jnp.asarray(nugget, cdt).reshape(1, 1))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
     out = pl.pallas_call(
         partial(_vecchia_band_kernel_lanes, k_of_r2=k_of_r2, kp1=kp1,
-                panel=panel),
+                panel=panel, nugget=nugget is not None),
         out_shape=jax.ShapeDtypeStruct((kp1, Np), out_dtype),
         grid=(Np // block,),
-        in_specs=[
-            pl.BlockSpec((D, kpp, block), lambda i: (0, 0, i)),
-            pl.BlockSpec((kpp, block), lambda i: (0, i)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((kp1, block), lambda i: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((kpp, kpp, block), cdt),
             pltpu.VMEM((kpp, kpp, block), cdt),
         ],
         interpret=interpret,
-    )(xwT, validpT)
+    )(*args)
     return out.swapaxes(0, 1)[:N]
 
 
 def _vecchia_band_bwd_kernel_lanes(
-    xw_ref, validp_ref, gbar_ref, xwbar_ref, ares_ref, lst_ref, *,
-    k_of_r2, kp1: int
+    xw_ref, validp_ref, gbar_ref, *refs, k_of_r2, kp1: int,
+    nugget: bool = False
 ):
     """Fused Vecchia-band PULLBACK, batch on lanes: window → Gram →
     bordered factor → closed-form band cotangent chain → Gram/window
@@ -827,7 +860,18 @@ def _vecchia_band_bwd_kernel_lanes(
 
     The factorization is the forward kernel's bordered masked Cholesky
     (panel=1) with the same pivot floors and deflation; deflated/invalid
-    coordinates carry zero solves, matching ``_masked_spd_solve``."""
+    coordinates carry zero solves, matching ``_masked_spd_solve``.
+
+    ``nugget=True``: one extra SMEM scalar input (the τ²/σ² Gram diagonal
+    shift, recomputed into Gm so the factor matches the forward) and one
+    extra (1, Bt) output — the per-window nugget cotangent
+    ``Σⱼ Ḡ_sym[j, j]·validⱼ = F̄ − Σⱼ Sb̄ⱼ·bⱼ·validⱼ`` (the r²-pullback is
+    UNCHANGED: the indicator shift is flat in r² a.e.)."""
+    if nugget:
+        nug_ref, xwbar_ref, nbar_ref, ares_ref, lst_ref = refs
+    else:
+        nug_ref = None
+        xwbar_ref, ares_ref, lst_ref = refs
     cdt = ares_ref.dtype
     w = xw_ref[:].astype(cdt)  # (D, kpp, Bt)
     validp = validp_ref[:].astype(cdt)  # (kpp, Bt)
@@ -855,6 +899,8 @@ def _vecchia_band_bwd_kernel_lanes(
     ).astype(cdt)
     pm = validp[:, None, :] * validp[None, :, :]
     Gm = G * pm + (1.0 - pm) * eye
+    if nug_ref is not None:
+        Gm = Gm + nug_ref[0, 0].astype(cdt) * (eye * pm)
     diag0 = jnp.sum(Gm * eye, axis=0)
     floors = 8.0 * eps * jnp.abs(diag0)
     ares_ref[:] = Gm
@@ -939,6 +985,14 @@ def _vecchia_band_bwd_kernel_lanes(
 
     Sb_bar = jax.lax.fori_loop(0, k, bsub2_step, jnp.zeros_like(validp))
 
+    if nug_ref is not None:
+        # nugget cotangent: Σⱼ Ḡ_sym[j,j]·validⱼ — the neighbor-diagonal
+        # term −Sb̄ⱼbⱼ (K̄w = −(Kw⁻¹b̄)bᵀ) plus the kdiag term F̄ (slot k)
+        nbar = F_bar - jnp.sum(
+            Sb_bar * b * validp * maskk, axis=0, keepdims=True
+        )
+        nbar_ref[:] = nbar.astype(nbar_ref.dtype)
+
     kni_bar = (Sb_bar - b * F_bar) * maskk * validp  # (kpp, Bt)
     # Ḡ_sym: outer products of (kpp, Bt) pieces — no transposes
     G_bar = (
@@ -957,10 +1011,12 @@ def _vecchia_band_bwd_kernel_lanes(
     xwbar_ref[:] = jnp.stack(out, axis=0).astype(xwbar_ref.dtype)
 
 
-def _vecchia_band_lanes_bwd_pallas_t(xwT, validpT, gbarT, k_of_r2, block):
+def _vecchia_band_lanes_bwd_pallas_t(xwT, validpT, gbarT, k_of_r2, block,
+                                     nugget=None):
     """Fused Pallas pullback over the batch grid, TRANSPOSED layout in and
     out: xwT (D, kp1, N), validpT (kp1, N) incl. the always-1 slot-k row,
-    gbarT (kp1, N) → xwT_bar (D, kp1, N)."""
+    gbarT (kp1, N) → xwT_bar (D, kp1, N) [+ the scalar nugget cotangent
+    when ``nugget`` is given]."""
     D, kp1, N = xwT.shape
     block = min(block, N)
     pad = (-N) % block
@@ -979,52 +1035,77 @@ def _vecchia_band_lanes_bwd_pallas_t(xwT, validpT, gbarT, k_of_r2, block):
     interpret = config.pallas_interpret or jax.default_backend() != "tpu"
     cdt = jnp.promote_types(xwT.dtype, jnp.float32)
 
-    xwbar = pl.pallas_call(
-        partial(_vecchia_band_bwd_kernel_lanes, k_of_r2=k_of_r2, kp1=kp1),
-        out_shape=jax.ShapeDtypeStruct((D, kp1, Np), xwT.dtype),
+    args = [xwT, validpT, gbarT]
+    in_specs = [
+        pl.BlockSpec((D, kp1, block), lambda i: (0, 0, i)),
+        pl.BlockSpec((kp1, block), lambda i: (0, i)),
+        pl.BlockSpec((kp1, block), lambda i: (0, i)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((D, kp1, Np), xwT.dtype)]
+    out_specs = [pl.BlockSpec((D, kp1, block), lambda i: (0, 0, i))]
+    if nugget is not None:
+        args.append(jnp.asarray(nugget, cdt).reshape(1, 1))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, Np), cdt))
+        out_specs.append(pl.BlockSpec((1, block), lambda i: (0, i)))
+
+    out = pl.pallas_call(
+        partial(_vecchia_band_bwd_kernel_lanes, k_of_r2=k_of_r2, kp1=kp1,
+                nugget=nugget is not None),
+        out_shape=out_shape,
         grid=(Np // block,),
-        in_specs=[
-            pl.BlockSpec((D, kp1, block), lambda i: (0, 0, i)),
-            pl.BlockSpec((kp1, block), lambda i: (0, i)),
-            pl.BlockSpec((kp1, block), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((D, kp1, block), lambda i: (0, 0, i)),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((kp1, kp1, block), cdt),
             pltpu.VMEM((kp1, kp1, block), cdt),
         ],
         interpret=interpret,
-    )(xwT, validpT, gbarT)
-    return xwbar[:, :, :N]
+    )(*args)
+    if nugget is None:
+        return out[0][:, :, :N]
+    xwbar, nbar = out
+    # padded columns carry zero gbar → zero nbar; sum is over real windows
+    nug_bar = jnp.sum(nbar[0, :N]).astype(jnp.asarray(nugget).dtype)
+    return xwbar[:, :, :N], nug_bar
 
 
-def _vecchia_band_lanes_bwd_pallas(xw, valid, k_of_r2, gbar, block):
+def _vecchia_band_lanes_bwd_pallas(xw, valid, k_of_r2, gbar, block,
+                                   nugget=None):
     """Untransposed-layout wrapper of the fused Pallas pullback."""
     N, D, kp1 = xw.shape
     xwT = jnp.transpose(xw, (1, 2, 0))
     validpT = jnp.concatenate(
         [valid.swapaxes(0, 1), jnp.ones((1, N), valid.dtype)], axis=0
     )
-    xwbarT = _vecchia_band_lanes_bwd_pallas_t(
-        xwT, validpT, gbar.swapaxes(0, 1), k_of_r2, block
+    res = _vecchia_band_lanes_bwd_pallas_t(
+        xwT, validpT, gbar.swapaxes(0, 1), k_of_r2, block, nugget
     )
-    return jnp.transpose(xwbarT, (2, 0, 1))  # (N, D, kp1)
+    if nugget is None:
+        return jnp.transpose(res, (2, 0, 1))  # (N, D, kp1)
+    xwbarT, nug_bar = res
+    return jnp.transpose(xwbarT, (2, 0, 1)), nug_bar
 
 
-def _vecchia_band_lanes_fwd(xw, valid, k_of_r2, block, panel):
+def _vecchia_band_lanes_fwd(xw, valid, k_of_r2, block, panel, nugget=None):
     return (
-        _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel),
-        (xw, valid),
+        _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel, nugget),
+        (xw, valid, nugget),
     )
 
 
 def _vecchia_band_lanes_bwd(k_of_r2, block, panel, residuals, gbar):
-    xw, valid = residuals
+    xw, valid, nugget = residuals
     # block 128: the backward keeps ~6 rank-3 (kp1, kp1, Bt) arrays live
     # (r2, dds, Ḡ, vjp residual + the two scratch factors) — half the
     # forward's batch tile keeps the working set inside scoped VMEM
-    xw_bar = _vecchia_band_lanes_bwd_pallas(xw, valid, k_of_r2, gbar, 128)
-    return xw_bar, jnp.zeros_like(valid)
+    if nugget is None:
+        xw_bar = _vecchia_band_lanes_bwd_pallas(xw, valid, k_of_r2, gbar, 128)
+        return xw_bar, jnp.zeros_like(valid), None
+    xw_bar, nug_bar = _vecchia_band_lanes_bwd_pallas(
+        xw, valid, k_of_r2, gbar, 128, nugget
+    )
+    return xw_bar, jnp.zeros_like(valid), nug_bar
 
 
 pallas_vecchia_band_lanes.defvjp(_vecchia_band_lanes_fwd, _vecchia_band_lanes_bwd)
@@ -1033,7 +1114,7 @@ pallas_vecchia_band_lanes.defvjp(_vecchia_band_lanes_fwd, _vecchia_band_lanes_bw
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def pallas_vecchia_band_lanes_t(
     xwT: jax.Array, validT: jax.Array, k_of_r2, block: int = 256,
-    panel: int = 1,
+    panel: int = 1, nugget: jax.Array | None = None,
 ) -> jax.Array:
     """Transposed-layout twin of :func:`pallas_vecchia_band_lanes`:
     ``xwT`` (D, k+1, N) windows (slot k = the point), ``validT`` (k, N)
@@ -1043,11 +1124,16 @@ def pallas_vecchia_band_lanes_t(
     callers BUILD the windows N-minor.  That matters for sliding (previous-
     k) windows from 1-D inputs: the (N, D, k+1) layout forces (N, 1)-shaped
     slice intermediates, which the TPU (8, 128) tiling pads 128× (measured
-    488 MB copies at N=1e6 — an OOM, not just waste)."""
-    return _vecchia_band_lanes_forward_t(xwT, validT, k_of_r2, block, panel)
+    488 MB copies at N=1e6 — an OOM, not just waste).
+
+    ``nugget``: optional traced Gram diagonal shift, differentiable — see
+    :func:`pallas_vecchia_band_lanes`."""
+    return _vecchia_band_lanes_forward_t(xwT, validT, k_of_r2, block, panel,
+                                         nugget)
 
 
-def _vecchia_band_lanes_forward_t(xwT, validT, k_of_r2, block, panel):
+def _vecchia_band_lanes_forward_t(xwT, validT, k_of_r2, block, panel,
+                                  nugget=None):
     D, kp1, N = xwT.shape
     k = kp1 - 1
     out_dtype = xwT.dtype
@@ -1079,42 +1165,53 @@ def _vecchia_band_lanes_forward_t(xwT, validT, k_of_r2, block, panel):
     interpret = config.pallas_interpret or jax.default_backend() != "tpu"
     cdt = jnp.promote_types(out_dtype, jnp.float32)
 
+    args = [xwT, validpT]
+    in_specs = [
+        pl.BlockSpec((D, kpp, block), lambda i: (0, 0, i)),
+        pl.BlockSpec((kpp, block), lambda i: (0, i)),
+    ]
+    if nugget is not None:
+        args.append(jnp.asarray(nugget, cdt).reshape(1, 1))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
     out = pl.pallas_call(
         partial(_vecchia_band_kernel_lanes, k_of_r2=k_of_r2, kp1=kp1,
-                panel=panel),
+                panel=panel, nugget=nugget is not None),
         out_shape=jax.ShapeDtypeStruct((kp1, Np), out_dtype),
         grid=(Np // block,),
-        in_specs=[
-            pl.BlockSpec((D, kpp, block), lambda i: (0, 0, i)),
-            pl.BlockSpec((kpp, block), lambda i: (0, i)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((kp1, block), lambda i: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((kpp, kpp, block), cdt),
             pltpu.VMEM((kpp, kpp, block), cdt),
         ],
         interpret=interpret,
-    )(xwT, validpT)
+    )(*args)
     return out.swapaxes(0, 1)[:N]
 
 
-def _vecchia_band_lanes_t_fwd(xwT, validT, k_of_r2, block, panel):
+def _vecchia_band_lanes_t_fwd(xwT, validT, k_of_r2, block, panel,
+                              nugget=None):
     return (
-        _vecchia_band_lanes_forward_t(xwT, validT, k_of_r2, block, panel),
-        (xwT, validT),
+        _vecchia_band_lanes_forward_t(xwT, validT, k_of_r2, block, panel,
+                                      nugget),
+        (xwT, validT, nugget),
     )
 
 
 def _vecchia_band_lanes_t_bwd(k_of_r2, block, panel, residuals, gbar):
-    xwT, validT = residuals
+    xwT, validT, nugget = residuals
     N = xwT.shape[2]
     validpT = jnp.concatenate(
         [validT, jnp.ones((1, N), validT.dtype)], axis=0
     )
-    xwT_bar = _vecchia_band_lanes_bwd_pallas_t(
-        xwT, validpT, gbar.swapaxes(0, 1), k_of_r2, 128
+    res = _vecchia_band_lanes_bwd_pallas_t(
+        xwT, validpT, gbar.swapaxes(0, 1), k_of_r2, 128, nugget
     )
-    return xwT_bar, jnp.zeros_like(validT)
+    if nugget is None:
+        return res, jnp.zeros_like(validT), None
+    xwT_bar, nug_bar = res
+    return xwT_bar, jnp.zeros_like(validT), nug_bar
 
 
 pallas_vecchia_band_lanes_t.defvjp(_vecchia_band_lanes_t_fwd,

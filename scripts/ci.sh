@@ -41,8 +41,8 @@ fi
 echo "=== [2/6] docs build + link check ==="
 python scripts/build_docs.py --check
 
-echo "=== [3/6] examples a-i (headless, CPU, reduced sizes) ==="
-# VERDICT r3 item 5: CI executes ALL NINE examples, mirroring the
+echo "=== [3/6] examples a-j (headless, CPU, reduced sizes) ==="
+# VERDICT r3 item 5: CI executes ALL TEN examples, mirroring the
 # reference's docs pipeline which runs every example on every build
 # (/root/reference/docs/make.jl:10, JuliaGPsDocs.generate_examples) — a
 # regression in any example fails CI.  Sizes are reduced; every example's

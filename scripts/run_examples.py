@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""CI example runner: executes ALL NINE examples headless on CPU at reduced
+"""CI example runner: executes ALL TEN examples headless on CPU at reduced
 sizes, with each example's own asserts live — the analogue of the
 reference's docs pipeline, which executes every example on every build
 (``/root/reference/docs/make.jl:10``, ``JuliaGPsDocs.generate_examples``).
@@ -46,6 +46,11 @@ RUNS = {
     # class) — batch 4096 would mean 30 steps and miss the rmse gate
     "h": ("h_serving", dict(N=8000, M=64, Ntest=20_000, batch=1024)),
     "i": ("i_streaming", dict(N=1200, M=24, rounds=3)),
+    # 80 Adam steps separate the noise sd from its 3x-off init (measured:
+    # recovers 0.101 vs true 0.1); smaller side keeps the point density in
+    # the local-kriging regime at reduced N
+    "j": ("j_vecchia", dict(N=4000, Ntest=2000, k=16, steps=80,
+                            N_small=200, side=6.0)),
 }
 
 

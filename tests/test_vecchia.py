@@ -386,6 +386,66 @@ def test_knn_search_matches_bruteforce(key):
     np.testing.assert_allclose(np.asarray(d2), np.sort(D, 1)[:, :5], atol=1e-9)
 
 
+def test_fused_band_nugget_matches_xla(key):
+    """The fused Pallas band path handles `σ²·k + τ²·White` NUGGET kernels
+    (the noisy-data training model, since the precision root ignores
+    FiniteGP observation noise): lml AND gradients — including the τ²
+    cotangent the fused pullback emits as an extra kernel output — match
+    the XLA windowed path to roundoff, for the sliding previous-k windows,
+    the gathered (maximin+nearest) windows, and finite differences."""
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (500, 2)) * 2.0
+    y = jnp.sin(x[:, 0]) * jnp.cos(x[:, 1]) + 0.1 * jax.random.normal(
+        k2, (500,)
+    )
+
+    def lml(theta, nn):
+        var, ls, tau = jnp.exp(theta)
+        kern = var * agp.with_lengthscale(
+            agp.SqExponentialKernel(), ls
+        ) + tau * agp.WhiteKernel()
+        return agp.approx_lml(nn, agp.GP(kern)(x, 0.0), y)
+
+    theta = jnp.log(jnp.asarray([1.3, 0.8, 0.02]))
+    for nn_kw in (
+        dict(),  # previous-k: the sliding-window `lanes_t` entry
+        dict(ordering="maximin", neighbors="nearest"),  # gathered entry
+    ):
+        vg = lambda t, up: jax.value_and_grad(lml)(
+            t, agp.NearestNeighbors(12, use_pallas=up, **nn_kw)
+        )
+        v_x, g_x = jax.jit(vg, static_argnums=1)(theta, False)
+        v_p, g_p = jax.jit(vg, static_argnums=1)(theta, True)
+        np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-12,
+                                   err_msg=str(nn_kw))
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                   rtol=1e-10, err_msg=str(nn_kw))
+    # finite-difference anchor for the tau gradient on the pallas path
+    nn = agp.NearestNeighbors(12, use_pallas=True)
+    g_tau = jax.grad(lml)(theta, nn)[2]
+    eps = 1e-6
+    e2 = jnp.zeros(3).at[2].set(eps)
+    fd = (lml(theta + e2, nn) - lml(theta - e2, nn)) / (2 * eps)
+    np.testing.assert_allclose(float(g_tau), float(fd), rtol=1e-5)
+
+
+def test_unwrap_stationary_nugget():
+    """Kernel-decomposition cases for the fused nugget dispatch."""
+    from approximategps_tpu.core.kernels import unwrap_stationary_nugget
+
+    se = agp.with_lengthscale(agp.SqExponentialKernel(), 0.7)
+    got = unwrap_stationary_nugget(2.0 * se + 0.3 * agp.WhiteKernel())
+    assert got is not None and got[3] is not None
+    np.testing.assert_allclose(float(got[2]), 2.0)
+    np.testing.assert_allclose(float(got[3]), 0.3)
+    # white side first, bare white, no white at all
+    assert unwrap_stationary_nugget(agp.WhiteKernel() + se)[3] is not None
+    assert unwrap_stationary_nugget(se)[3] is None
+    # non-stationary base or a non-white second term -> no unwrap
+    assert unwrap_stationary_nugget(agp.LinearKernel() + agp.WhiteKernel()) is None
+    assert unwrap_stationary_nugget(se + se) is None
+
+
 def test_knn_search_grid_matches_scan(key):
     """The bucketed-grid spatial k-NN tier returns EXACTLY the blocked-scan
     distances in d=1/2/3 — including test points outside the training
