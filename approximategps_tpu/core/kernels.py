@@ -461,18 +461,45 @@ def _unwrap_white(kern: Kernel):
 
 def unwrap_stationary_nugget(kern: Kernel):
     """:func:`unwrap_stationary` extended to a NUGGET term: decomposes
-    ``σ²·(base ∘ ScaleTransform(s)) [+ τ²·White]`` into
-    ``(static k_of_r2, input_scale, variance, nugget)`` with ``nugget`` the
-    traced τ² (None when there is no white term), or None if the kernel is
-    not of that form.
+    ``σ²·(base ∘ ScaleTransform(s)) [+ τ²·White]`` — including outer-scaled
+    sums like ``c·(k + w·White)``, whose factors distribute into both
+    summands — into ``(static k_of_r2, input_scale, variance, nugget)``
+    with ``nugget`` the traced τ² (None when there is no white term), or
+    None if the kernel is not of that form.
 
     This is the standard noisy-data Vecchia training model (the precision
     root ignores FiniteGP observation noise, reference parity), and lets
     the fused band kernels keep the nugget on the Pallas tier: the white
-    term becomes ``(τ²/σ²)·[r² == 0]`` inside the window Gram — exact
-    value-equality semantics for DISTINCT points (coincident points would
-    couple through the nugget here but not in the index-identity XLA
-    window gram; spatial datasets with duplicated sites should dedupe)."""
+    term becomes a (τ²/σ²)·I shift on the window Gram's INDEX diagonal —
+    iid-observation-noise semantics, matching the XLA window gram's
+    one-argument ``WhiteKernel.gram`` exactly.  For datasets with
+    DUPLICATED sites the generic path's cross-covariance column
+    (two-argument, value-equality white) would additionally couple
+    coincident points, which the fused path never does (iid noise on two
+    observations at the same site is independent); dedupe duplicated sites
+    to keep the two tiers identical."""
+    # peel outer σ²·(...) / input-scale wrappers: both distribute into a
+    # sum (scaling inputs leaves the white term unchanged on distinct
+    # points), so c·(k + w·White) dispatches the same as c·k + c·w·White
+    out_var = None
+    out_scale = None
+    while True:
+        if isinstance(kern, ScaledKernel):
+            v = jnp.asarray(kern.variance)
+            out_var = v if out_var is None else out_var * v
+            kern = kern.inner
+        elif isinstance(kern, InputScaledKernel):
+            s = jnp.asarray(kern.scale)
+            out_scale = s if out_scale is None else out_scale * s
+            kern = kern.inner
+        else:
+            break
+
+    def _mul(a, b):
+        if a is None:
+            return b
+        return a if b is None else a * b
+
     if isinstance(kern, SumKernel):
         for a, b in ((kern.left, kern.right), (kern.right, kern.left)):
             white = _unwrap_white(b)
@@ -482,13 +509,14 @@ def unwrap_stationary_nugget(kern: Kernel):
             if base is None:
                 return None
             fn, scale, variance = base
-            return fn, scale, variance, white
+            return (fn, _mul(out_scale, scale), _mul(out_var, variance),
+                    _mul(out_var, white))
         return None
     base = unwrap_stationary(kern)
     if base is None:
         return None
     fn, scale, variance = base
-    return fn, scale, variance, None
+    return fn, _mul(out_scale, scale), _mul(out_var, variance), None
 
 
 @pytree_dataclass

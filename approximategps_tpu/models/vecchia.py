@@ -175,10 +175,11 @@ def _fused_band(Xp: jax.Array, k: int, kern: Kernel, nbr=None):
     """Fully fused Pallas path: returns the (N, k+1) band or None if the
     kernel is not an (input-/output-)scaled parameter-free stationary
     kernel, optionally plus a white-noise NUGGET term (``σ²·k + τ²·White``
-    — the noisy-data training model; the nugget becomes a traced Gram
-    diagonal shift τ²/σ² inside the kernel, value-equality semantics for
-    distinct points).  Lengthscales fold into the inputs; the variance
-    post-scales the band exactly (U(σ²k) = U(k)/σ).
+    — the noisy-data training model; the nugget becomes a traced shift
+    τ²/σ² on the window Gram's index diagonal — iid observation noise, see
+    ``unwrap_stationary_nugget`` for the duplicated-site caveat).
+    Lengthscales fold into the inputs; the variance post-scales the band
+    exactly (U(σ²k) = U(k)/σ).
 
     ``nbr=None`` conditions on the previous k points in the ordering (the
     banded reference scheme); an explicit (N, k) ``nbr`` index matrix (−1
@@ -201,9 +202,13 @@ def _fused_band(Xp: jax.Array, k: int, kern: Kernel, nbr=None):
     fn, scale, variance, white = unwrapped
     ratio = None
     if white is not None:
-        ratio = jnp.asarray(white, Xp.dtype)
+        # the ratio stays a full-precision scalar: computing it in a bf16
+        # input dtype would round τ²/σ² to 8 mantissa bits before the
+        # kernel's own f32 upcast
+        rdt = jnp.promote_types(Xp.dtype, jnp.float32)
+        ratio = jnp.asarray(white, rdt)
         if variance is not None:
-            ratio = ratio / jnp.asarray(variance, Xp.dtype)
+            ratio = ratio / jnp.asarray(variance, rdt)
     Xs = Xp if scale is None else Xp * jnp.asarray(scale, Xp.dtype)
     N, D = Xs.shape
     if nbr is None:
@@ -500,6 +505,11 @@ def predict_knn(
     (``knn_mode="auto"``): O(3^D·cell-occupancy) gathered candidates per
     test point instead of the O(N) blocked sweep, exactness certified on
     device with per-tile fallback.
+    Observation noise enters HERE via ``fx.noise`` (added to the window
+    Grams): pass the SIGNAL kernel plus the learned noise as ``fx``'s noise
+    — do NOT also fold a ``τ²·White`` nugget into ``fx.f.kernel`` (the
+    training-side recipe, where the precision root ignores FiniteGP noise),
+    or the test-point prior variance double-counts it.
     Fully jittable, static shapes: the device-side blocked k-NN search
     (:func:`~approximategps_tpu.ops.knn.knn_search`) feeds the SAME batched
     masked-Cholesky band op as training — the band row [−b·F^{−1/2}, F^{−1/2}]

@@ -603,10 +603,11 @@ def _vecchia_band_kernel_lanes(
 
     ``nugget=True`` threads one extra SMEM scalar input (the τ²/σ² ratio of
     a ``σ²·k + τ²·White`` kernel after variance normalization): the window
-    Gram gains ``ratio·I`` on its valid diagonal — exact value-equality
-    white semantics for distinct points, keeping noisy-data Vecchia
-    training on the fused tier (see ``core.kernels
-    .unwrap_stationary_nugget``).
+    Gram gains ``ratio·I`` on its valid INDEX diagonal — iid observation
+    noise per window slot, matching the XLA path's one-argument
+    ``WhiteKernel.gram`` — keeping noisy-data Vecchia training on the
+    fused tier (see ``core.kernels.unwrap_stationary_nugget`` for the
+    duplicated-site caveat).
 
     Refs: xw (D, kpp, Bt) windows (slot k = kp1−1 is the conditioned point,
     slots ≥ kp1 are panel padding), validp (kpp, Bt) 0/1 neighbor mask

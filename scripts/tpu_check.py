@@ -166,6 +166,30 @@ def main():
         abs(float(v_p) + 89265.93692) / 89265.93692 < 1e-4,
     )
 
+    # NUGGET tier (round 4): σ²·k + τ²·White stays on the fused Pallas
+    # path (traced Gram diagonal shift, τ² cotangent from the fused
+    # pullback) — value + 3-param grad parity against the XLA windowed path
+    def v_lml_nug(theta, x, y, use_pallas):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.Matern32Kernel(), jax.nn.softplus(theta[1])
+        ) + jax.nn.softplus(theta[2]) * agp.WhiteKernel()
+        nn = agp.NearestNeighbors(32, block_size=8192, use_pallas=use_pallas)
+        return agp.approx_lml(nn, agp.GP(kern)(x, 0.0), y)
+
+    theta0n = jnp.array([0.55, 0.55, 0.02], jnp.float32)
+    vgn = jax.jit(jax.value_and_grad(v_lml_nug), static_argnums=3)
+    vn_p, gn_p = vgn(theta0n, xp_, yp_, True)
+    vn_x, gn_x = vgn(theta0n, xp_, yp_, False)
+    rel_vn = abs(float(vn_p) - float(vn_x)) / max(1.0, abs(float(vn_x)))
+    rel_gn = float(
+        jnp.max(jnp.abs(gn_p - gn_x))
+        / jnp.maximum(jnp.max(jnp.abs(gn_x)), 1e-30)
+    )
+    check(f"vecchia N=1e5 NUGGET lml parity pallas-vs-xla (rel {rel_vn:.1e})",
+          rel_vn < 1e-4)
+    check(f"vecchia N=1e5 NUGGET grad parity pallas-vs-xla (rel {rel_gn:.1e})",
+          rel_gn < 1e-2)
+
     print("Pallas gram:")
     from approximategps_tpu.config import config_context
 

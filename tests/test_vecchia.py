@@ -421,11 +421,13 @@ def test_fused_band_nugget_matches_xla(key):
         np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                    rtol=1e-10, err_msg=str(nn_kw))
     # finite-difference anchor for the tau gradient on the pallas path
+    # (jitted per repo convention so the persistent compile cache can hit)
     nn = agp.NearestNeighbors(12, use_pallas=True)
-    g_tau = jax.grad(lml)(theta, nn)[2]
+    lml_j = jax.jit(lambda t: lml(t, nn))
+    g_tau = jax.jit(jax.grad(lambda t: lml(t, nn)))(theta)[2]
     eps = 1e-6
     e2 = jnp.zeros(3).at[2].set(eps)
-    fd = (lml(theta + e2, nn) - lml(theta - e2, nn)) / (2 * eps)
+    fd = (lml_j(theta + e2) - lml_j(theta - e2)) / (2 * eps)
     np.testing.assert_allclose(float(g_tau), float(fd), rtol=1e-5)
 
 
@@ -441,6 +443,11 @@ def test_unwrap_stationary_nugget():
     # white side first, bare white, no white at all
     assert unwrap_stationary_nugget(agp.WhiteKernel() + se)[3] is not None
     assert unwrap_stationary_nugget(se)[3] is None
+    # outer-scaled sum: the factor distributes into both summands
+    got = unwrap_stationary_nugget(2.0 * (se + 0.3 * agp.WhiteKernel()))
+    assert got is not None
+    np.testing.assert_allclose(float(got[2]), 2.0)
+    np.testing.assert_allclose(float(got[3]), 0.6)
     # non-stationary base or a non-white second term -> no unwrap
     assert unwrap_stationary_nugget(agp.LinearKernel() + agp.WhiteKernel()) is None
     assert unwrap_stationary_nugget(se + se) is None
