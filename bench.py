@@ -337,6 +337,43 @@ def vecchia_lml_grad(N=1_000_000, k=32, block=8192, iters=2):
     return chained_step_ms(make_run, iters=iters)
 
 
+def vecchia_nugget_lml_grad(N=1_000_000, k=32, block=8192, iters=2):
+    """The NOISY-data Vecchia training step: lml+grad of a
+    ``σ²·Matern32(ℓ) + τ²·White`` kernel wrt all three hyperparameters —
+    the nugget rides the fused Pallas tier as a traced Gram diagonal shift
+    (``unwrap_stationary_nugget``), with its cotangent emitted by the
+    fused backward kernel.  The generic windowed fallback this replaced
+    measured 4.1 s at N=2e5 (≈20 s-class at 1e6)."""
+    import approximategps_tpu as agp
+
+    dtype = jnp.float32
+    x0 = jnp.linspace(0.0, float(N), N, dtype=dtype)
+    y = jnp.sin(x0 / 3.0)
+
+    def lml(theta, x, y):
+        kern = jax.nn.softplus(theta[0]) * agp.with_lengthscale(
+            agp.Matern32Kernel(), jax.nn.softplus(theta[1])
+        ) + jax.nn.softplus(theta[2]) * agp.WhiteKernel()
+        nn = agp.NearestNeighbors(k, block_size=block)
+        return agp.approx_lml(nn, agp.GP(kern)(x, 0.0), y)
+
+    theta0 = jnp.array([0.55, 0.55, 0.02], dtype)
+
+    def make_run(n):
+        @jax.jit
+        def run(x, y):
+            def body(t, _):
+                v, g = jax.value_and_grad(lml)(t, x, y)
+                return t + 1e-30 * (v + jnp.sum(g)), None
+
+            t, _ = jax.lax.scan(body, theta0, None, length=n)
+            return jnp.sum(t)
+
+        return partial(run, x0, y)
+
+    return chained_step_ms(make_run, iters=iters)
+
+
 def block_vecchia_lml_grad(N=1_000_000, b=64, k=64, iters=2):
     """Block-Vecchia training step: lml + hyperparameter gradient at
     N=1e6 (the lml-only row measures the forward; training pays the
@@ -722,6 +759,10 @@ def main():
             ("natgrad_adam_hybrid_step_ms(N=1e6,M=2048,B=8192)", natgrad_hybrid),
             ("vecchia_band_build_ms(N=1e6,k=32)", vecchia_build),
             ("vecchia_lml_grad_step_ms(N=1e6,k=32)", vecchia_lml_grad),
+            (
+                "vecchia_nugget_lml_grad_step_ms(N=1e6,k=32,var/ls/tau)",
+                vecchia_nugget_lml_grad,
+            ),
             (
                 "vecchia_sparse_build_ms(N=1e6,k=32,random-predecessors)",
                 vecchia_sparse_build,

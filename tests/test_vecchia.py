@@ -431,6 +431,52 @@ def test_fused_band_nugget_matches_xla(key):
     np.testing.assert_allclose(float(g_tau), float(fd), rtol=1e-5)
 
 
+def test_fused_nugget_duplicate_sites_are_iid(key):
+    """Pins the fused nugget's DUPLICATED-SITE semantics (documented in
+    ``unwrap_stationary_nugget``): the nugget is iid observation noise on
+    the window's INDEX diagonal — two observations at the same site do NOT
+    couple through it.  Checked against an independent numpy oracle that
+    builds the Vecchia evidence window by window with ``Kw + τ²I`` and a
+    white-free cross-covariance column."""
+    from scipy.linalg import solve as sp_solve
+
+    k1, k2 = jax.random.split(key)
+    x = np.asarray(jax.random.normal(k1, (40, 2))) * 1.5
+    x[17] = x[5]  # one duplicated site
+    y = np.sin(x[:, 0]) + 0.05 * np.asarray(
+        jax.random.normal(k2, (40,))
+    )
+    var, ls, tau, k = 1.3, 0.8, 0.02, 6
+
+    def se(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return var * np.exp(-0.5 * d2 / ls**2)
+
+    lml_np = 0.0
+    for i in range(len(x)):
+        lo = max(i - k, 0)
+        Xw, xi = x[lo:i], x[i : i + 1]
+        di = y[i]
+        if len(Xw):
+            Kw = se(Xw, Xw) + tau * np.eye(len(Xw))
+            kni = se(Xw, xi)[:, 0]  # NO white term: index semantics
+            b = sp_solve(Kw, kni, assume_a="pos")
+            F = se(xi, xi)[0, 0] + tau - kni @ b
+            di = di - b @ y[lo:i]
+        else:
+            F = se(xi, xi)[0, 0] + tau
+        lml_np += -0.5 * (np.log(F) + np.log(2 * np.pi) + di**2 / F)
+
+    kern = var * agp.with_lengthscale(
+        agp.SqExponentialKernel(), ls
+    ) + tau * agp.WhiteKernel()
+    nn = agp.NearestNeighbors(k, use_pallas=True)
+    lml = jax.jit(
+        lambda y: agp.approx_lml(nn, agp.GP(kern)(jnp.asarray(x), 0.0), y)
+    )(jnp.asarray(y))
+    np.testing.assert_allclose(float(lml), lml_np, rtol=1e-9)
+
+
 def test_unwrap_stationary_nugget():
     """Kernel-decomposition cases for the fused nugget dispatch."""
     from approximategps_tpu.core.kernels import unwrap_stationary_nugget
