@@ -491,6 +491,7 @@ def predict_knn(
     test_block: int = 4096,
     train_block: int = 65536,
     knn_mode: str = "auto",
+    use_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Vecchia serving: independent-conditioning (local-kriging) prediction —
     each test point conditions ONLY on its k nearest noisy observations
@@ -518,10 +519,17 @@ def predict_knn(
 
     Returns per-point (mean, var) of the LATENT f at ``xs`` (noise-free
     predictive; add ``fx.noise`` marginals for y-space prediction).
+
+    On TPU (f32/bf16, scalar noise, stationary kernel) the batched
+    local-kriging solves ride the SAME fused Pallas lanes kernel as
+    training, with the noise as a ``nugget_self=False`` Gram diagonal
+    shift (neighbors are noisy observations, slot k is the noise-free
+    test point); ``use_pallas=False`` forces the XLA batched path.
     """
     from ..ops.batched_chol import (
         batched_chol_solve_band,
         batched_chol_solve_band_unrolled,
+        pallas_vecchia_band_lanes,
     )
     from ..ops.knn import knn_search
 
@@ -544,26 +552,65 @@ def predict_knn(
     mean_s = fx.f.mean(Xs)
     kdiag_s = kern.diag(Xs)
 
-    def window(i):
-        w = idx[i]
-        Xw = Xp[w]
-        Kw = kern.gram(Xw) + jnp.diag(noise_d[w])
-        kni = kern.gram(Xw, Xs[i][None, :])[:, 0]
-        return Kw, kni, delta[w]
+    from ..core.kernels import unwrap_stationary
 
-    def rows(i_block):
-        Kw, kni, dw = jax.vmap(window)(i_block)
-        # unrolled columns are the measured-fast path at serving k (≤ ~48);
-        # past that the unrolled XLA graph explodes compile time, so fall
-        # back to the fori_loop variant (compiles in seconds at any k)
-        if k <= 48:
-            band = batched_chol_solve_band_unrolled(Kw, kni, kdiag_s[i_block])
-        else:
-            band = batched_chol_solve_band(Kw, kni, kdiag_s[i_block])
-        b = -band[:, :k] / band[:, k:]  # kriging weights Kw⁻¹kni
-        mu = mean_s[i_block] + jnp.einsum("nt,nt->n", b, dw)
-        var = jnp.maximum(1.0 / jnp.square(band[:, k]), 0.0)
-        return mu, var
+    fused = None
+    if noise.ndim == 0 and _resolve_use_pallas(use_pallas, Xp.dtype):
+        fused = unwrap_stationary(kern)
+
+    if fused is not None:
+        # fused serving solves: bordered window → Gram(+noise on the
+        # neighbor diagonal only) → factor → band in one VMEM pass.  The
+        # kriging weights b = −band[:k]/band[k] are VARIANCE-INVARIANT
+        # (U(σ²A) = U(A)/σ scales num/denom alike), so the unit-variance
+        # band serves directly; F = σ²·F_unit from the last band entry.
+        fn, scale, variance = fused
+        rdt = jnp.promote_types(Xp.dtype, jnp.float32)
+        var_s = (jnp.ones((), rdt) if variance is None
+                 else jnp.asarray(variance, rdt))
+        ratio = jnp.asarray(noise, rdt) / var_s
+        Xps = Xp if scale is None else Xp * jnp.asarray(scale, Xp.dtype)
+        Xss = Xs if scale is None else Xs * jnp.asarray(scale, Xs.dtype)
+
+        def rows(i_block):
+            w = idx[i_block]  # (bs, k)
+            xw = jnp.concatenate(
+                [Xps[w], Xss[i_block][:, None, :]], axis=1
+            ).swapaxes(1, 2)  # (bs, D, k+1)
+            valid = jnp.ones((i_block.shape[0], k), Xp.dtype)
+            band = pallas_vecchia_band_lanes(
+                xw, valid, fn, nugget=ratio, nugget_self=False
+            )
+            b = -band[:, :k] / band[:, k:]  # kriging weights Kw⁻¹kni
+            mu = mean_s[i_block] + jnp.einsum("nt,nt->n", b, delta[w])
+            var = var_s.astype(band.dtype) / jnp.square(band[:, k])
+            return mu, jnp.maximum(var, 0.0)
+
+    else:
+
+        def window(i):
+            w = idx[i]
+            Xw = Xp[w]
+            Kw = kern.gram(Xw) + jnp.diag(noise_d[w])
+            kni = kern.gram(Xw, Xs[i][None, :])[:, 0]
+            return Kw, kni, delta[w]
+
+        def rows(i_block):
+            Kw, kni, dw = jax.vmap(window)(i_block)
+            # unrolled columns are the measured-fast path at serving k
+            # (≤ ~48); past that the unrolled XLA graph explodes compile
+            # time, so fall back to the fori_loop variant (compiles in
+            # seconds at any k)
+            if k <= 48:
+                band = batched_chol_solve_band_unrolled(
+                    Kw, kni, kdiag_s[i_block]
+                )
+            else:
+                band = batched_chol_solve_band(Kw, kni, kdiag_s[i_block])
+            b = -band[:, :k] / band[:, k:]  # kriging weights Kw⁻¹kni
+            mu = mean_s[i_block] + jnp.einsum("nt,nt->n", b, dw)
+            var = jnp.maximum(1.0 / jnp.square(band[:, k]), 0.0)
+            return mu, var
 
     m = Xs.shape[0]
     indices = jnp.arange(m)

@@ -597,7 +597,7 @@ pallas_vecchia_band.defvjp(_vecchia_band_fwd, _vecchia_band_bwd)
 
 def _vecchia_band_kernel_lanes(
     xw_ref, validp_ref, *refs, k_of_r2, kp1: int, panel: int,
-    nugget: bool = False
+    nugget: bool = False, nugget_self: bool = True
 ):
     """Fused window → Gram → bordered-Cholesky → band, batch on lanes.
 
@@ -607,7 +607,10 @@ def _vecchia_band_kernel_lanes(
     noise per window slot, matching the XLA path's one-argument
     ``WhiteKernel.gram`` — keeping noisy-data Vecchia training on the
     fused tier (see ``core.kernels.unwrap_stationary_nugget`` for the
-    duplicated-site caveat).
+    duplicated-site caveat).  ``nugget_self=False`` excludes slot k (the
+    conditioned point) from the shift — the SERVING window shape, where
+    slot k is a noise-free TEST point conditioning on noisy neighbors
+    (``predict_knn``).
 
     Refs: xw (D, kpp, Bt) windows (slot k = kp1−1 is the conditioned point,
     slots ≥ kp1 are panel padding), validp (kpp, Bt) 0/1 neighbor mask
@@ -664,7 +667,10 @@ def _vecchia_band_kernel_lanes(
     if nug_ref is not None:
         # valid-diagonal nugget (slot k's validp is always 1, pads stay
         # identity): Gm[j, j] += ratio for real window slots
-        Gm = Gm + nug_ref[0, 0].astype(cdt) * (eye * pm)
+        nugmask = eye * pm
+        if not nugget_self:  # serving: slot k is a noise-free test point
+            nugmask = nugmask * (riota < k).astype(cdt)[:, :, None]
+        Gm = Gm + nug_ref[0, 0].astype(cdt) * nugmask
 
     diag0 = jnp.sum(Gm * eye, axis=0)  # (kpp, Bt) original diagonal
     floors = 8.0 * eps * jnp.abs(diag0)
@@ -737,10 +743,11 @@ def _vecchia_band_kernel_lanes(
     out_ref[:] = band[:kp1].astype(out_ref.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 6))
 def pallas_vecchia_band_lanes(
     xw: jax.Array, valid: jax.Array, k_of_r2, block: int = 256,
     panel: int = 1, nugget: jax.Array | None = None,
+    nugget_self: bool = True,
 ) -> jax.Array:
     """Fused Vecchia band rows from point windows, batch-on-lanes layout.
 
@@ -768,16 +775,18 @@ def pallas_vecchia_band_lanes(
     the fused tier.  Differentiable: coordinate cotangents are unchanged
     (the shift is flat in r² a.e.) and the nugget cotangent
     ``Σ diag(Ḡ) = F̄ − Σⱼ (Kw⁻¹b̄)ⱼ bⱼ`` falls out of quantities the
-    fused pullback already carries.
+    fused pullback already carries.  ``nugget_self=False`` (static)
+    excludes slot k from the shift — the serving window shape, where the
+    conditioned slot is a noise-free test point (``predict_knn``).
 
     Differentiable w.r.t. ``xw`` (and ``nugget``) via the fused Pallas
     pullback."""
     return _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel,
-                                       nugget)
+                                       nugget, nugget_self)
 
 
 def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel,
-                                nugget=None):
+                                nugget=None, nugget_self=True):
     N, D, kp1 = xw.shape
     k = kp1 - 1
     out_dtype = xw.dtype
@@ -819,7 +828,8 @@ def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel,
 
     out = pl.pallas_call(
         partial(_vecchia_band_kernel_lanes, k_of_r2=k_of_r2, kp1=kp1,
-                panel=panel, nugget=nugget is not None),
+                panel=panel, nugget=nugget is not None,
+                nugget_self=nugget_self),
         out_shape=jax.ShapeDtypeStruct((kp1, Np), out_dtype),
         grid=(Np // block,),
         in_specs=in_specs,
@@ -835,7 +845,7 @@ def _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel,
 
 def _vecchia_band_bwd_kernel_lanes(
     xw_ref, validp_ref, gbar_ref, *refs, k_of_r2, kp1: int,
-    nugget: bool = False
+    nugget: bool = False, nugget_self: bool = True
 ):
     """Fused Vecchia-band PULLBACK, batch on lanes: window → Gram →
     bordered factor → closed-form band cotangent chain → Gram/window
@@ -901,7 +911,10 @@ def _vecchia_band_bwd_kernel_lanes(
     pm = validp[:, None, :] * validp[None, :, :]
     Gm = G * pm + (1.0 - pm) * eye
     if nug_ref is not None:
-        Gm = Gm + nug_ref[0, 0].astype(cdt) * (eye * pm)
+        nugmask = eye * pm
+        if not nugget_self:
+            nugmask = nugmask * (riota < k).astype(cdt)[:, :, None]
+        Gm = Gm + nug_ref[0, 0].astype(cdt) * nugmask
     diag0 = jnp.sum(Gm * eye, axis=0)
     floors = 8.0 * eps * jnp.abs(diag0)
     ares_ref[:] = Gm
@@ -988,10 +1001,11 @@ def _vecchia_band_bwd_kernel_lanes(
 
     if nug_ref is not None:
         # nugget cotangent: Σⱼ Ḡ_sym[j,j]·validⱼ — the neighbor-diagonal
-        # term −Sb̄ⱼbⱼ (K̄w = −(Kw⁻¹b̄)bᵀ) plus the kdiag term F̄ (slot k)
-        nbar = F_bar - jnp.sum(
-            Sb_bar * b * validp * maskk, axis=0, keepdims=True
-        )
+        # term −Sb̄ⱼbⱼ (K̄w = −(Kw⁻¹b̄)bᵀ) plus, when the shift includes
+        # slot k, the kdiag term F̄
+        nbar = -jnp.sum(Sb_bar * b * validp * maskk, axis=0, keepdims=True)
+        if nugget_self:
+            nbar = nbar + F_bar
         nbar_ref[:] = nbar.astype(nbar_ref.dtype)
 
     kni_bar = (Sb_bar - b * F_bar) * maskk * validp  # (kpp, Bt)
@@ -1013,7 +1027,7 @@ def _vecchia_band_bwd_kernel_lanes(
 
 
 def _vecchia_band_lanes_bwd_pallas_t(xwT, validpT, gbarT, k_of_r2, block,
-                                     nugget=None):
+                                     nugget=None, nugget_self=True):
     """Fused Pallas pullback over the batch grid, TRANSPOSED layout in and
     out: xwT (D, kp1, N), validpT (kp1, N) incl. the always-1 slot-k row,
     gbarT (kp1, N) → xwT_bar (D, kp1, N) [+ the scalar nugget cotangent
@@ -1052,7 +1066,7 @@ def _vecchia_band_lanes_bwd_pallas_t(xwT, validpT, gbarT, k_of_r2, block,
 
     out = pl.pallas_call(
         partial(_vecchia_band_bwd_kernel_lanes, k_of_r2=k_of_r2, kp1=kp1,
-                nugget=nugget is not None),
+                nugget=nugget is not None, nugget_self=nugget_self),
         out_shape=out_shape,
         grid=(Np // block,),
         in_specs=in_specs,
@@ -1072,7 +1086,7 @@ def _vecchia_band_lanes_bwd_pallas_t(xwT, validpT, gbarT, k_of_r2, block,
 
 
 def _vecchia_band_lanes_bwd_pallas(xw, valid, k_of_r2, gbar, block,
-                                   nugget=None):
+                                   nugget=None, nugget_self=True):
     """Untransposed-layout wrapper of the fused Pallas pullback."""
     N, D, kp1 = xw.shape
     xwT = jnp.transpose(xw, (1, 2, 0))
@@ -1080,7 +1094,8 @@ def _vecchia_band_lanes_bwd_pallas(xw, valid, k_of_r2, gbar, block,
         [valid.swapaxes(0, 1), jnp.ones((1, N), valid.dtype)], axis=0
     )
     res = _vecchia_band_lanes_bwd_pallas_t(
-        xwT, validpT, gbar.swapaxes(0, 1), k_of_r2, block, nugget
+        xwT, validpT, gbar.swapaxes(0, 1), k_of_r2, block, nugget,
+        nugget_self
     )
     if nugget is None:
         return jnp.transpose(res, (2, 0, 1))  # (N, D, kp1)
@@ -1088,14 +1103,17 @@ def _vecchia_band_lanes_bwd_pallas(xw, valid, k_of_r2, gbar, block,
     return jnp.transpose(xwbarT, (2, 0, 1)), nug_bar
 
 
-def _vecchia_band_lanes_fwd(xw, valid, k_of_r2, block, panel, nugget=None):
+def _vecchia_band_lanes_fwd(xw, valid, k_of_r2, block, panel, nugget=None,
+                            nugget_self=True):
     return (
-        _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel, nugget),
+        _vecchia_band_lanes_forward(xw, valid, k_of_r2, block, panel, nugget,
+                                    nugget_self),
         (xw, valid, nugget),
     )
 
 
-def _vecchia_band_lanes_bwd(k_of_r2, block, panel, residuals, gbar):
+def _vecchia_band_lanes_bwd(k_of_r2, block, panel, nugget_self, residuals,
+                            gbar):
     xw, valid, nugget = residuals
     # block 128: the backward keeps ~6 rank-3 (kp1, kp1, Bt) arrays live
     # (r2, dds, Ḡ, vjp residual + the two scratch factors) — half the
@@ -1104,7 +1122,7 @@ def _vecchia_band_lanes_bwd(k_of_r2, block, panel, residuals, gbar):
         xw_bar = _vecchia_band_lanes_bwd_pallas(xw, valid, k_of_r2, gbar, 128)
         return xw_bar, jnp.zeros_like(valid), None
     xw_bar, nug_bar = _vecchia_band_lanes_bwd_pallas(
-        xw, valid, k_of_r2, gbar, 128, nugget
+        xw, valid, k_of_r2, gbar, 128, nugget, nugget_self
     )
     return xw_bar, jnp.zeros_like(valid), nug_bar
 

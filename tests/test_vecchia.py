@@ -477,6 +477,31 @@ def test_fused_nugget_duplicate_sites_are_iid(key):
     np.testing.assert_allclose(float(lml), lml_np, rtol=1e-9)
 
 
+def test_predict_knn_fused_matches_xla(key):
+    """The fused serving solves (``use_pallas=True``: bordered window →
+    Gram + noise on the NEIGHBOR diagonal only → band in the lanes kernel,
+    ``nugget_self=False``) reproduce the XLA batched path's mean/var to
+    roundoff — scalar noise, scaled/lengthscaled kernel."""
+    from approximategps_tpu.models.vecchia import predict_knn
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (800, 2)) * 1.5
+    xs = jax.random.normal(k2, (130, 2)) * 1.5
+    y = jnp.sin(x[:, 0]) + 0.1 * jax.random.normal(k3, (800,))
+    f = agp.GP(1.7 * agp.with_lengthscale(agp.SqExponentialKernel(), 0.6))
+    fx = f(x, 0.01)
+    run = jax.jit(
+        lambda y, up: predict_knn(fx, y, xs, k=9, use_pallas=up),
+        static_argnums=1,
+    )
+    mu_p, var_p = run(y, True)
+    mu_x, var_x = run(y, False)
+    np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_x),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_p), np.asarray(var_x),
+                               rtol=1e-9)
+
+
 def test_unwrap_stationary_nugget():
     """Kernel-decomposition cases for the fused nugget dispatch."""
     from approximategps_tpu.core.kernels import unwrap_stationary_nugget
