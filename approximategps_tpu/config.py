@@ -109,6 +109,14 @@ class _Config:
     # matmul_left_upper & co — skip ~44% of the flops at nb=8).  At small M
     # the extra launches/concats wash the saving out.
     tri_matmul_min_m: int = int(os.environ.get("AGP_TRI_MATMUL_MIN_M", "4096"))
+    # Smallest M at which compute_dtype="auto" downgrades the O(M·B)
+    # projection-intermediate STORAGE to bf16 on TPU f32 (1e-3 relative
+    # accuracy class — a production-numerics switch, so it gets its own
+    # knob rather than riding tri_matmul_min_m, the triangular-matmul FLOP
+    # gate; the two defaults coincide because the measured crossovers do:
+    # M=8192 wins 80.0 → 74.9 ms, M=2048 is a wash — ADVICE r4).
+    bf16_storage_min_m: int = int(
+        os.environ.get("AGP_BF16_STORAGE_MIN_M", "4096"))
     # Fused data-term epilogue tile sizes (ops/svgp_epilogue.py).  Tuned on
     # v5e (see scripts/tune_epilogue.py for the per-generation sweep); the
     # VMEM working set scales with both, so epilogue_supported() gates on

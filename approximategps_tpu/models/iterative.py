@@ -164,9 +164,19 @@ def woodbury_preconditioner(Lk: jax.Array, noise) -> Callable:
     return apply
 
 
-def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None):
+def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None,
+                  mesh=None, axis_name: str = "data"):
     """Returns ``matvec(V) = (K(x,x) + Σ) @ V`` evaluated in row blocks of
-    ``block_size`` (never materializing K when block_size < N)."""
+    ``block_size`` (never materializing K when block_size < N).
+
+    ``mesh``: an optional :class:`jax.sharding.Mesh` — the matvec's row
+    blocks are then sharded over ``axis_name`` (each device computes its
+    band ``K[rows_i, :] @ V`` against a replicated ``V``; the kernel matvec
+    is the purest data-parallel op in the matrix-free tier, SURVEY.md
+    §2.4).  Implemented with sharding constraints under GSPMD, so CG /
+    Lanczos reductions downstream become psums over ICI automatically and
+    gradients flow unchanged.  ``mesh=None`` (default) is the single-chip
+    path, byte-identical to before."""
     X = as_points(x)
     N = X.shape[0]
 
@@ -177,6 +187,11 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None):
         if noise_arr.ndim == 1:
             return noise_arr[:, None] * V
         return noise_arr @ V
+
+    if mesh is not None:
+        return _dp_kernel_matvec(
+            kernel, X, noise_apply, block_size, mesh, axis_name
+        )
 
     # K·V at ELEVATED precision ALWAYS: on TPU the default matmul runs
     # single-pass bf16, and CG amplifies matvec noise — measured on v5e at
@@ -219,16 +234,70 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None):
     return matvec
 
 
+def _dp_kernel_matvec(kernel, X, noise_apply, block_size, mesh, axis_name):
+    """Row-band data-parallel (K + Σ) @ V over ``mesh``.
+
+    Layout: X's rows are padded and reshaped to (n_dev, rows_per_dev, d)
+    with the leading axis sharded over ``axis_name``; a vmap over that axis
+    computes each device's band ``K(X_band, X) @ V`` (V replicated — it is
+    O(N·R), the bands' gram blocks are the O(N²) object).  ``block_size``
+    sub-chunks each band with a serial ``lax.map`` so per-device live
+    memory stays O(block·N) exactly as in the single-chip path.  Padded
+    rows only ever appear on the ROW side (columns use the original X), so
+    their garbage outputs are sliced away."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mv_prec = getattr(config, "cg_matvec_precision", "highest")
+    N, d = X.shape
+    n_dev = mesh.shape[axis_name]
+    rpd = -(-N // n_dev)  # rows per device
+    pad = n_dev * rpd - N
+    Xp = jnp.concatenate([X, jnp.zeros((pad, d), X.dtype)]) if pad else X
+    Xsh = Xp.reshape(n_dev, rpd, d)
+    band_sharding = NamedSharding(mesh, PartitionSpec(axis_name, None, None))
+
+    def band(xb, V):  # (rpd, d), (N, R) -> (rpd, R)
+        if block_size is None or block_size >= rpd:
+            return jnp.matmul(kernel.gram(xb, X), V, precision=mv_prec)
+        bs = block_size
+        bpad = (-rpd) % bs
+        xbp = (
+            jnp.concatenate([xb, jnp.zeros((bpad, d), xb.dtype)])
+            if bpad
+            else xb
+        )
+        chunks = xbp.reshape(-1, bs, d)
+        out = jax.lax.map(
+            lambda xc: jnp.matmul(kernel.gram(xc, X), V, precision=mv_prec),
+            chunks,
+        )
+        return out.reshape(-1, V.shape[1])[:rpd]
+
+    def matvec(V):
+        vec = V.ndim == 1
+        if vec:
+            V = V[:, None]
+        Xc = jax.lax.with_sharding_constraint(Xsh, band_sharding)
+        out = jax.vmap(band, in_axes=(0, None))(Xc, V)
+        out = jax.lax.with_sharding_constraint(out, band_sharding)
+        out = out.reshape(n_dev * rpd, V.shape[1])[:N]
+        out = out + noise_apply(V)
+        return out[:, 0] if vec else out
+
+    return matvec
+
+
 class CGPosterior:
     """Exact posterior with CG solves (mean exact to tol; variance via
     batched CG against K(x, x*) columns)."""
 
     def __init__(self, fx: FiniteGP, y, tol=1e-6, maxiter=1000, block_size=None,
-                 precond_rank: int = 0):
+                 precond_rank: int = 0, mesh=None, axis_name: str = "data"):
         self.fx = fx
         self.prior = fx.f
         self.x = as_points(fx.x)
-        self._matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
+        self._matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size,
+                                     mesh=mesh, axis_name=axis_name)
         self._tol = tol
         self._maxiter = maxiter
         # pivoted-Cholesky/Woodbury preconditioner (GPyTorch-style);
@@ -281,14 +350,18 @@ class CGPosterior:
 
 
 def posterior_cg(fx: FiniteGP, y, tol=1e-8, maxiter=1000, block_size=None,
-                 precond_rank: int = 0):
+                 precond_rank: int = 0, mesh=None, axis_name: str = "data"):
     """Exact GP regression posterior via conjugate gradients.
 
     ``precond_rank > 0`` enables the pivoted-Cholesky/Woodbury
     preconditioner (Gardner et al. 2018 §3.2) — cuts CG iterations
-    substantially for ill-conditioned K at O(rank·N) setup cost."""
+    substantially for ill-conditioned K at O(rank·N) setup cost.
+
+    ``mesh`` shards every K-matvec's row bands over the device mesh (see
+    :func:`kernel_matvec`) — the solves' O(N²) work splits across chips."""
     return CGPosterior(fx, y, tol=tol, maxiter=maxiter, block_size=block_size,
-                       precond_rank=precond_rank)
+                       precond_rank=precond_rank, mesh=mesh,
+                       axis_name=axis_name)
 
 
 def _lanczos(matvec, v0, num_iters, reorth: bool = False):
@@ -500,6 +573,8 @@ def logpdf_slq(
     precond_rank: int = 0,
     precond_Lk: jax.Array | None = None,
     precond_logdet: bool = True,
+    mesh=None,
+    axis_name: str = "data",
 ) -> jax.Array:
     """Exact log marginal likelihood with the logdet estimated by stochastic
     Lanczos quadrature: logdet(A) ≈ (N/P) Σ_p eᵀ₁ f(T_p) e₁ with f = log on
@@ -535,9 +610,17 @@ def logpdf_slq(
     ``precond_Lk`` passes a CARRIED factor instead (e.g. one refreshed on a
     schedule during hyperopt —
     :func:`~approximategps_tpu.utils.training.make_slq_hyperopt_step`): a
-    stale preconditioner is solution-invariant for the solves and the
-    logdet split stays EXACT for any SPD P (staleness only worsens
-    cond(C)), so the factor is treated as a constant (zero cotangent)."""
+    stale preconditioner is solution-invariant for the SOLVES (it changes
+    CG iteration counts, never the converged result), and the logdet
+    split identity itself holds for any SPD P — but the C ⪰ I Ritz floor
+    does NOT: it needs the residual K − LLᵀ of the CURRENT kernel to be
+    PSD, which only a fresh factor guarantees.  A carried factor therefore
+    gets an eps-scale floor instead (true sub-1 eigenvalues of C are kept,
+    at the cost of less f32-noise rejection), so between refreshes the lml
+    VALUE carries the quadrature's usual noise-floor error rather than a
+    one-sided clamp bias.  Gradients are unaffected either way (the
+    backward is the stochastic-trace estimator, not the quadrature), and
+    the factor is treated as a constant (zero cotangent)."""
     n = len(fx)
     dtype = jnp.result_type(y, jnp.float32)
     probes = (
@@ -546,13 +629,17 @@ def logpdf_slq(
         else jnp.sign(jax.random.normal(key, (num_probes, n), dtype=dtype))
     )
     Lk = precond_Lk
+    # a factor built HERE is fresh w.r.t. the current kernel, so the
+    # C ⪰ I Ritz floor is provable; a user-carried factor may be stale
+    precond_fresh = precond_Lk is None
     if Lk is None and precond_rank > 0:
         Lk = pivoted_cholesky(fx.f.kernel, as_points(fx.x), precond_rank)
     if Lk is not None:
         Lk = jax.lax.stop_gradient(Lk)
     return _logpdf_slq_core(
         lanczos_iters, cg_tol, cg_maxiter, block_size, bool(reorth),
-        bool(precond_logdet), fx, y, probes, Lk
+        bool(precond_logdet), precond_fresh, mesh, axis_name,
+        fx, y, probes, Lk
     )
 
 
@@ -564,12 +651,13 @@ def _slq_minv(Lk, noise):
     return woodbury_preconditioner(Lk, noise)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
 def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
-                     precond_logdet, fx, y,
+                     precond_logdet, precond_fresh, mesh, axis_name, fx, y,
                      probes, Lk=None):
     n = len(fx)
-    matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
+    matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size,
+                           mesh=mesh, axis_name=axis_name)
     delta = y - fx.mean()
     alpha = cg_solve(matvec, delta, cg_tol, cg_maxiter,
                      M_inv=_slq_minv(Lk, fx.noise))
@@ -585,12 +673,20 @@ def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
         apply_half, logdetP = _precond_sqrt_ops(Lk, jnp.asarray(fx.noise))
         quad_mv = lambda v: apply_half(matvec(apply_half(v, -1)), -1)
         logdet0 = logdetP
-        # C ⪰ I EXACTLY (the pivoted-Cholesky residual K − LLᵀ is PSD, so
-        # K̂ ⪰ P): any Ritz value below 1 is f32 recurrence/matvec noise,
-        # and log-clamping it at 1e-30 would inject −69·τ·n-scale garbage
-        # (measured: −78k vs the true tr log C ≈ +29 at cond 1e8) — clamp
-        # at the provable spectral floor instead
-        ritz_floor = 1.0
+        if precond_fresh:
+            # C ⪰ I EXACTLY for a FRESH factor (the pivoted-Cholesky
+            # residual K − LLᵀ is PSD, so K̂ ⪰ P): any Ritz value below 1
+            # is f32 recurrence/matvec noise, and log-clamping it at 1e-30
+            # would inject −69·τ·n-scale garbage (measured: −78k vs the
+            # true tr log C ≈ +29 at cond 1e8) — clamp at the provable
+            # spectral floor instead
+            ritz_floor = 1.0
+        else:
+            # carried (possibly stale) factor: K_new − L_old L_oldᵀ can be
+            # indefinite, so sub-1 eigenvalues of C are REAL — clamping
+            # them to 1 one-sidedly biases the value (ADVICE r4).  C is
+            # still SPD, so only sub-eps Ritz values are noise.
+            ritz_floor = float(jnp.finfo(probes.dtype).eps)
 
     def probe_logdet(v):
         alphas, betas = _lanczos(quad_mv, v, lanczos_iters, reorth=reorth)
@@ -605,20 +701,21 @@ def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
 
 
 def _logpdf_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
-                    precond_logdet, fx, y,
+                    precond_logdet, precond_fresh, mesh, axis_name, fx, y,
                     probes, Lk=None):
     val = _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                           reorth, precond_logdet,
-                           fx, y, probes, Lk)
+                           reorth, precond_logdet, precond_fresh, mesh,
+                           axis_name, fx, y, probes, Lk)
     # alpha is recomputed in the backward (one CG) so the forward stores
     # only the inputs — keeps remat/scan memory flat
     return val, (fx, y, probes, Lk)
 
 
 def _logpdf_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
-                    precond_logdet, res, ct):
+                    precond_logdet, precond_fresh, mesh, axis_name, res, ct):
     fx, y, probes, Lk = res
-    matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size)
+    matvec = kernel_matvec(fx.f.kernel, fx.x, fx.noise, block_size,
+                           mesh=mesh, axis_name=axis_name)
     M_inv = _slq_minv(Lk, fx.noise)
     delta = jax.lax.stop_gradient(y - fx.mean())
     alpha = jax.lax.stop_gradient(
@@ -633,7 +730,8 @@ def _logpdf_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
         # stochastic-trace estimator with (alpha, W) frozen:
         #   quad_sur  = 2 αᵀδ(θ) − αᵀ K̂(θ) α      (d = 2αᵀ∂δ − αᵀ∂K̂ α)
         #   trace_sur = (1/P) Σ_p w_pᵀ K̂(θ) z_p    (d = Hutchinson ∂logdet)
-        mv = kernel_matvec(fx_.f.kernel, fx_.x, fx_.noise, block_size)
+        mv = kernel_matvec(fx_.f.kernel, fx_.x, fx_.noise, block_size,
+                           mesh=mesh, axis_name=axis_name)
         delta_ = y_ - fx_.mean()
         quad_sur = 2.0 * (alpha @ delta_) - alpha @ mv(alpha)
         trace_sur = jnp.mean(jnp.sum(W * mv(probes_.T), axis=0))

@@ -53,7 +53,8 @@ __all__ = [
 ]
 
 
-def _k_matvec(kern, x, block_size, noise=0.0, storage="auto"):
+def _k_matvec(kern, x, block_size, noise=0.0, storage="auto", mesh=None,
+               axis_name: str = "data"):
     """matvec for the prior gram K(x, x) (+ the LatentGP jitter when given,
     so B = I + √W (K + jitter·I) √W matches the dense operator — the dense
     path's K = fx.cov() includes the jitter).
@@ -68,6 +69,15 @@ def _k_matvec(kern, x, block_size, noise=0.0, storage="auto"):
     if storage == "dense" or (storage == "auto"
                               and N <= config.cg_dense_threshold):
         K = kern.gram(as_points(x))
+        if mesh is not None:
+            # shard the RESIDENT Gram's rows over the mesh: each chip holds
+            # and multiplies an (N/n_dev, N) band — K-residency gains n_dev x
+            # memory headroom and the matvec splits its O(N^2) flops
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            K = jax.lax.with_sharding_constraint(
+                K, NamedSharding(mesh, PartitionSpec(axis_name, None))
+            )
         noise_arr = jnp.asarray(noise, K.dtype)
 
         mv_prec = getattr(config, "cg_matvec_precision", "highest")
@@ -79,7 +89,8 @@ def _k_matvec(kern, x, block_size, noise=0.0, storage="auto"):
             return out[:, 0] if vec else out
 
         return mv
-    return kernel_matvec(kern, x, noise, block_size)
+    return kernel_matvec(kern, x, noise, block_size, mesh=mesh,
+                         axis_name=axis_name)
 
 
 def _b_precond(kern, x, rank):
@@ -177,22 +188,22 @@ def _newton_loop_cg(lik, ys, kmv, f_init, maxiter, tol, cg_tol, cg_maxiter,
     return st.fnew, st.it
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _newton_solve_cg(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
-                     block_size, precond_rank, storage,
+                     block_size, precond_rank, storage, mesh, axis_name,
                      lik_leaves, ys, kern, x, noise, f_init):
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    kmv = _k_matvec(kern, x, block_size, noise, storage)
+    kmv = _k_matvec(kern, x, block_size, noise, storage, mesh, axis_name)
     Lr = _b_precond(kern, x, precond_rank)
     return _newton_loop_cg(lik, ys, kmv, f_init, maxiter, tol, cg_tol,
                            cg_maxiter, damping, Lr=Lr)
 
 
 def _newton_solve_cg_fwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
-                         block_size, precond_rank, storage,
+                         block_size, precond_rank, storage, mesh, axis_name,
                          lik_leaves, ys, kern, x, noise, f_init):
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    kmv = _k_matvec(kern, x, block_size, noise, storage)
+    kmv = _k_matvec(kern, x, block_size, noise, storage, mesh, axis_name)
     Lr = _b_precond(kern, x, precond_rank)
     f_opt, n_iter = _newton_loop_cg(lik, ys, kmv, f_init, maxiter, tol,
                                     cg_tol, cg_maxiter, damping, Lr=Lr)
@@ -200,7 +211,8 @@ def _newton_solve_cg_fwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
 
 
 def _newton_solve_cg_bwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
-                         block_size, precond_rank, storage, residuals, cts):
+                         block_size, precond_rank, storage, mesh, axis_name,
+                         residuals, cts):
     """IFT pullback, matrix-free (the dense module's `_newton_solve_bwd`
     with the B⁻¹ application replaced by (preconditioned) CG and the rank-1
     K̄ = λ∇llᵀ cotangent pushed through the chunked matvec instead of
@@ -212,7 +224,7 @@ def _newton_solve_cg_bwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
     ct_f, _ct_niter = cts
     lik_leaves, ys, kern, x, noise, f_opt = residuals
     lik = jax.tree_util.tree_unflatten(lik_def, lik_leaves)
-    kmv = _k_matvec(kern, x, block_size, noise, storage)
+    kmv = _k_matvec(kern, x, block_size, noise, storage, mesh, axis_name)
     Lr = _b_precond(kern, x, precond_rank)
     _ll, d_ll, d2_ll = lik.log_prob_d1_d2(f_opt, ys)
     Wsqrt = jnp.sqrt(-d2_ll)
@@ -225,7 +237,8 @@ def _newton_solve_cg_bwd(lik_def, maxiter, tol, cg_tol, cg_maxiter, damping,
     def s(leaves, kern_, x_, noise_, ys_):
         lik_ = jax.tree_util.tree_unflatten(lik_def, leaves)
         _, d1, _ = lik_.log_prob_d1_d2(f_fix, ys_)
-        mv = _k_matvec(kern_, x_, block_size, noise_, storage)
+        mv = _k_matvec(kern_, x_, block_size, noise_, storage, mesh,
+                       axis_name)
         return lam @ mv(d1)
 
     val, vjp_s = jax.vjp(s, lik_leaves, kern, x, noise, ys)
@@ -252,6 +265,8 @@ def newton_inner_loop_cg(
     noise=0.0,
     precond_rank: int = 128,
     storage: str = "auto",
+    mesh=None,
+    axis_name: str = "data",
     return_niter: bool = False,
 ):
     """Matrix-free Newton mode finding: f̂ with K(x,x) accessed only through
@@ -277,16 +292,16 @@ def newton_inner_loop_cg(
     lik_leaves, lik_def = jax.tree_util.tree_flatten(lik)
     f_opt, n_iter = _newton_solve_cg(
         lik_def, maxiter, float(tol), cg_tol, cg_maxiter, damping,
-        block_size, int(precond_rank), storage,
+        block_size, int(precond_rank), storage, mesh, axis_name,
         lik_leaves, ys, kern, x, jnp.asarray(noise, x.dtype),
         f_init,
     )
     return (f_opt, n_iter) if return_niter else f_opt
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                  precond_rank, storage,
+                  precond_rank, storage, mesh, axis_name,
                   Wsqrt, kern, x, noise, probes):
     """logdet(I + √W K √W) by stochastic Lanczos quadrature, with the same
     stochastic-trace custom VJP as :func:`iterative.logpdf_slq`:
@@ -296,7 +311,7 @@ def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
     the per-probe solves done by one block-CG in the backward only.
     Differentiable w.r.t. ``Wsqrt`` (→ f̂ via the Newton IFT), the kernel
     hyperparameters and the inputs."""
-    kmv = _k_matvec(kern, x, block_size, noise, storage)
+    kmv = _k_matvec(kern, x, block_size, noise, storage, mesh, axis_name)
     bmv = _b_matvec(kmv, Wsqrt)
     n = Wsqrt.shape[0]
 
@@ -312,16 +327,18 @@ def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
 
 
 def _logdet_B_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                      precond_rank, storage, Wsqrt, kern, x, noise, probes):
+                      precond_rank, storage, mesh, axis_name,
+                      Wsqrt, kern, x, noise, probes):
     val = _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                        precond_rank, storage, Wsqrt, kern, x, noise, probes)
+                        precond_rank, storage, mesh, axis_name,
+                        Wsqrt, kern, x, noise, probes)
     return val, (Wsqrt, kern, x, noise, probes)
 
 
 def _logdet_B_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size,
-                      precond_rank, storage, res, ct):
+                      precond_rank, storage, mesh, axis_name, res, ct):
     Wsqrt, kern, x, noise, probes = res
-    kmv = _k_matvec(kern, x, block_size, noise, storage)
+    kmv = _k_matvec(kern, x, block_size, noise, storage, mesh, axis_name)
     bmv = _b_matvec(kmv, Wsqrt)
     Lr = _b_precond(kern, x, precond_rank)
     W_solves = jax.lax.stop_gradient(
@@ -330,7 +347,8 @@ def _logdet_B_slq_bwd(lanczos_iters, cg_tol, cg_maxiter, block_size,
     )  # (n, P)
 
     def surrogate(Wsqrt_, kern_, x_, noise_, probes_):
-        mv = _k_matvec(kern_, x_, block_size, noise_, storage)
+        mv = _k_matvec(kern_, x_, block_size, noise_, storage, mesh,
+                       axis_name)
         bz = probes_.T + Wsqrt_[:, None] * mv(Wsqrt_[:, None] * probes_.T)
         return jnp.mean(jnp.sum(W_solves * bz, axis=0))
 
@@ -357,6 +375,8 @@ def laplace_lml_cg(
     noise=0.0,
     precond_rank: int = 128,
     storage: str = "auto",
+    mesh=None,
+    axis_name: str = "data",
     **newton_kwargs,
 ):
     """Laplace approx-lml with the ½·logdet(B) term from stochastic Lanczos
@@ -376,7 +396,8 @@ def laplace_lml_cg(
                                      block_size=block_size,
                                      cg_tol=cg_tol, cg_maxiter=cg_maxiter,
                                      noise=noise, precond_rank=precond_rank,
-                                     storage=storage, **newton_kwargs)
+                                     storage=storage, mesh=mesh,
+                                     axis_name=axis_name, **newton_kwargs)
     ll, d_ll, d2_ll = lik.log_prob_d1_d2(f_opt, ys)
     Wsqrt = jnp.sqrt(-d2_ll)
     # a = K⁻¹f̂ = ∇ll at the fixed point (f̂ = K ∇ll)
@@ -387,7 +408,7 @@ def laplace_lml_cg(
     )
     logdet_B = _logdet_B_slq(
         lanczos_iters, cg_tol, cg_maxiter, block_size, int(precond_rank),
-        storage, Wsqrt, kern, x, noise, probes
+        storage, mesh, axis_name, Wsqrt, kern, x, noise, probes
     )
     return -0.5 * (a @ f_opt) + jnp.sum(ll) - 0.5 * logdet_B
 
@@ -415,6 +436,10 @@ class LaplaceCG:
     # HBM-resident Gram storage below config.cg_dense_threshold
     precond_rank: int = static_field(default=128)
     storage: str = static_field(default="auto")
+    # optional jax.sharding.Mesh: shards every K-matvec's row bands (and
+    # the K-resident tier's Gram rows) over the mesh — see kernel_matvec
+    mesh: object = static_field(default=None)
+    axis_name: str = static_field(default="data")
 
 
 @pytree_dataclass
@@ -454,7 +479,8 @@ class LaplaceCGPosterior(AbstractGP):
         xt = self._train_x()
         Kxs = self.prior.cov(xt, x)  # (N, N*)
         kmv = _k_matvec(self.prior.kernel, xt, self.approx.block_size,
-                        self._noise, self.approx.storage)
+                        self._noise, self.approx.storage,
+                        self.approx.mesh, self.approx.axis_name)
         bmv = _b_matvec(kmv, self.Wsqrt)
         Lr = _b_precond(self.prior.kernel, xt, self.approx.precond_rank)
         V = cg_solve(bmv, self.Wsqrt[:, None] * Kxs,
@@ -503,10 +529,12 @@ def _posterior_laplace_cg(la: LaplaceCG, lfx: LatentFiniteGP, ys, **_):
         lik, ys, kern, x, f_init=la.f_init, maxiter=la.maxiter,
         tol=la.tol, cg_tol=la.cg_tol, cg_maxiter=la.cg_maxiter,
         damping=la.damping, block_size=la.block_size, noise=noise,
-        precond_rank=la.precond_rank, storage=la.storage,
+        precond_rank=la.precond_rank, storage=la.storage, mesh=la.mesh,
+        axis_name=la.axis_name,
     )
     # one extra Newton step at the mode for the SOLVED representer weight
-    kmv = _k_matvec(kern, as_points(x), la.block_size, noise, la.storage)
+    kmv = _k_matvec(kern, as_points(x), la.block_size, noise, la.storage,
+                    la.mesh, la.axis_name)
     Lr = _b_precond(kern, as_points(x), la.precond_rank)
     _fnew, a, _s = _newton_body_cg(lik, ys, kmv, f_opt, la.cg_tol,
                                    la.cg_maxiter, 1.0, Lr=Lr)
@@ -532,5 +560,6 @@ def _approx_lml_laplace_cg(la: LaplaceCG, lfx: LatentFiniteGP, ys, *,
         block_size=la.block_size, f_init=la.f_init, maxiter=la.maxiter,
         tol=la.tol, cg_tol=la.cg_tol, cg_maxiter=la.cg_maxiter,
         damping=la.damping, noise=lfx.fx.noise,
-        precond_rank=la.precond_rank, storage=la.storage,
+        precond_rank=la.precond_rank, storage=la.storage, mesh=la.mesh,
+        axis_name=la.axis_name,
     )

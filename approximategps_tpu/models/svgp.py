@@ -114,7 +114,7 @@ def _storage_dtype(dtype, M=None):
 
     ``config.compute_dtype``:
     - "auto" (default): bf16 storage on TPU for f32 inputs at
-      M >= ``tri_matmul_min_m`` — where the (M, B) projections' HBM traffic
+      M >= ``bf16_storage_min_m`` — where the (M, B) projections' HBM traffic
       is the step's floor it wins (M=8192 step 80.0 → 74.9 ms measured),
       while at M=2048 it is a wash (3.42 vs 3.50 ms A/B, re-measured r4
       after the pullback collapse) so f32 stays;
@@ -135,7 +135,7 @@ def _storage_dtype(dtype, M=None):
         if (
             jax.default_backend() == "tpu"
             and M is not None
-            and M >= getattr(config, "tri_matmul_min_m", 4096)
+            and M >= getattr(config, "bf16_storage_min_m", 4096)
         ):
             return jnp.bfloat16
     return None

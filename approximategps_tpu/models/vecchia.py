@@ -96,10 +96,16 @@ def band_Ut_matmul(Uband: jax.Array, X: jax.Array) -> jax.Array:
     (Uᵀ X)[i] = Σ_{t=0..k} Uband[i, t] · X[i−k+t], evaluated as k+1 STATIC
     SHIFTS of X (slices + zero pads) instead of a clipped gather — on TPU
     the gather (and especially its scatter-add transpose in the backward)
-    costs an order of magnitude more HBM time than contiguous copies.  The
-    shifted rows carry zeros where i−k+t < 0, so the out-of-range band
-    entries never contribute (they are 0 in exact arithmetic anyway: the
-    construction masks kni)."""
+    costs an order of magnitude more HBM time than contiguous copies.
+
+    BAND CONTRACT: out-of-range slots (row i, t with i−k+t < 0 — the first
+    k rows' leading columns) must hold EXACTLY 0.  Every in-library
+    constructor (``approx_root_prec_band``, the Pallas lanes kernels)
+    writes zeros there; unlike the earlier ``jnp.where``-masked
+    implementation, these shift products do NOT re-mask, so a
+    caller-supplied band with NaN/Inf garbage in those slots propagates
+    (0·NaN = NaN).  User-built bands must zero the masked slots
+    (ADVICE r4)."""
     kp1 = Uband.shape[1]
     k = kp1 - 1
     if X.ndim == 1:
@@ -143,7 +149,11 @@ class BandInvRoot:
     analogue of the reference's ``InvRoot`` (``:77-88``), pluggable into
     :class:`~approximategps_tpu.core.gp.PosteriorGP` so all exact-posterior
     prediction code paths are reused, exactly as the reference reuses
-    AbstractGPs' ``PosteriorGP``."""
+    AbstractGPs' ``PosteriorGP``.
+
+    ``Uband`` must satisfy the band contract of :func:`band_Ut_matmul`:
+    out-of-range slots in the first k rows hold exactly 0 (library
+    constructors guarantee this; user-built bands must too)."""
 
     Uband: jax.Array  # (N, k+1); [:, -1] is the diagonal of U
 

@@ -74,6 +74,14 @@ def knn_search(
         raise ValueError(f"k={k} exceeds the {n} training points")
     if mode not in ("auto", "grid", "scan"):
         raise ValueError(f"unknown knn mode: {mode!r}")
+    if mode == "grid" and d > 3:
+        # the documented contract is spatial D <= 3: beyond it the
+        # 3^(d-1)-row Moore gather is untested and its capacity heuristic
+        # was designed for the spatial regime (ADVICE r4) — fail loudly
+        # rather than silently building it
+        raise ValueError(
+            f"knn mode='grid' supports spatial inputs with d <= 3, got d={d}"
+        )
     dtype = Xa.dtype
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
@@ -157,6 +165,20 @@ def knn_search(
 
     if use_grid:
         grid_tile = _make_grid_tile(Xa, k, big)
+        if grid_tile is None and mode == "grid":
+            # explicitly forced grid but no useful grid exists (degenerate
+            # G, or the Moore gather would touch >= the whole sweep) —
+            # signal the silent degradation instead of quietly running the
+            # blocked scan (ADVICE r4)
+            import warnings
+
+            warnings.warn(
+                "knn mode='grid' was forced but no useful grid exists for "
+                f"this problem (n={n}, d={d}, k={k}); falling back to the "
+                "blocked scan",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if grid_tile is not None:
 
             def tile_fn(Q):

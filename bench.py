@@ -21,6 +21,7 @@ Laplace Newton+lml at N=5k) on stderr.
 
 import argparse
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -29,8 +30,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache (mirrors tests/conftest.py): without it every
+# driver run pays cold remote TPU compiles (20-40 s each, occasionally
+# minutes — BENCH_NOTES), and a driver timeout leaves a blank tail
+# (VERDICT r4 weak #2).  Must be configured before backend init.
+_cache_dir = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-def chained_step_ms(make_run, iters=50, repeats=1):
+
+def _hb(msg: str) -> None:
+    """One-line stderr heartbeat so a timed-out run has a diagnostic tail."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def chained_step_ms(make_run, iters=50, repeats=1, label=""):
     """make_run(n) -> jitted fn returning a scalar after n chained steps.
 
     With ``repeats > 1`` returns (median_ms, stats_dict) over that many
@@ -38,8 +56,11 @@ def chained_step_ms(make_run, iters=50, repeats=1):
     quantifies tunnel/queue variance (VERDICT r1 weak #2)."""
     run1 = make_run(1)
     runk = make_run(1 + iters)
+    _hb(f"{label}: compiling n=1 ...")
     float(run1())  # compile + warm
+    _hb(f"{label}: compiling n={1 + iters} ...")
     float(runk())
+    _hb(f"{label}: timing ({repeats} repeat(s)) ...")
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -151,7 +172,7 @@ def headline(M=2048, batch=8192, D=8, num_data=1_000_000, iters=30, repeats=5):
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
-    def train_step(carry, i):
+    def train_step(carry, i, x_full, y_full):
         p, s = carry
         idx = jax.random.randint(
             jax.random.fold_in(key, i), (batch,), 0, num_data
@@ -164,22 +185,34 @@ def headline(M=2048, batch=8192, D=8, num_data=1_000_000, iters=30, repeats=5):
         return (p, s), val
 
     def make_run(n):
-        # params/opt_state as jit ARGUMENTS: at M=8192 the (M, M) variational
-        # factor is 256 MB and baked-in constants overflow the remote compile
-        # helper's payload limit (HTTP 413)
+        # params/opt_state AND the dataset as jit ARGUMENTS.  Baked-in
+        # device constants are fetched device->host during lowering
+        # (_array_mlir_constant_handler -> array._value): at M=8192 the
+        # (M, M) factor overflows the remote compile helper's payload limit
+        # (HTTP 413), and the 36 MB dataset fetch HANGS on a degraded
+        # tunnel — BENCH_r04 rc=124 (VERDICT r4 weak #1).
         @jax.jit
-        def run(params, opt_state):
+        def run(params, opt_state, x_full, y_full):
             (p, _), vals = jax.lax.scan(
-                train_step, (params, opt_state), jnp.arange(n)
+                partial(train_step, x_full=x_full, y_full=y_full),
+                (params, opt_state),
+                jnp.arange(n),
             )
             return vals[-1] + jnp.sum(p["m"]) * 0.0
 
-        return partial(run, params, opt_state)
+        return partial(run, params, opt_state, x_full, y_full)
 
-    ms, stats = chained_step_ms(make_run, iters=iters, repeats=repeats)
+    ms, stats = chained_step_ms(
+        make_run, iters=iters, repeats=repeats, label="headline"
+    )
 
+    # flop lowering must ALSO take the dataset as arguments (lower() walks
+    # the same constant handler as compile)
     flops = _step_flops(
-        lambda c: train_step(c, jnp.int32(0))[0], (params, opt_state)
+        lambda c, x, y: train_step(c, jnp.int32(0), x, y)[0],
+        (params, opt_state),
+        x_full,
+        y_full,
     )
     info = dict(stats)
     peak = _peak_tflops()
@@ -230,7 +263,7 @@ def full_streaming(M=2048, N=1 << 20, D=8, block=16384, iters=3):
 
         return lambda: run(x, y)
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="full_streaming")
 
 
 def vecchia_build(N=1_000_000, k=32, block=8192, iters=3):
@@ -246,7 +279,7 @@ def vecchia_build(N=1_000_000, k=32, block=8192, iters=3):
 
     def make_run(n):
         @jax.jit
-        def run():
+        def run(x0):
             def body(x, _):
                 Uband = approx_root_prec_band(x, k, kern, block_size=block)
                 return x + 0.0 * Uband[0, 0], jnp.sum(Uband[:, -1])
@@ -254,9 +287,9 @@ def vecchia_build(N=1_000_000, k=32, block=8192, iters=3):
             x, vals = jax.lax.scan(body, x0, None, length=n)
             return vals[-1]
 
-        return run
+        return partial(run, x0)
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="vecchia_build")
 
 
 def vecchia_predict_knn_sweep(N=1_000_000, Ntest=1_000_000, k=32, iters=1):
@@ -278,11 +311,14 @@ def vecchia_predict_knn_sweep(N=1_000_000, Ntest=1_000_000, k=32, iters=1):
     Xs = jax.random.uniform(ks, (Ntest, 2), dtype) * 1000.0
     y = jax.random.normal(ky, (N,), dtype)
     f = agp.GP(agp.with_lengthscale(agp.Matern32Kernel(), 5.0))
-    fx = f(X, 0.1)
 
     def make_run(n):
+        # X enters through the FiniteGP built INSIDE the jit so the 8 MB
+        # train-inputs array rides as an argument, not a baked constant
         @jax.jit
-        def run(y, Xs):
+        def run(X, y, Xs):
+            fx = f(X, 0.1)
+
             def body(c, _):
                 # tile sizes: the live (test_block, train_block) distance
                 # tile is 1 GB f32; 8192×131072 (4 GB) plus top_k's sort
@@ -296,9 +332,9 @@ def vecchia_predict_knn_sweep(N=1_000_000, Ntest=1_000_000, k=32, iters=1):
             _, vals = jax.lax.scan(body, jnp.zeros((), dtype), None, length=n)
             return vals[-1]
 
-        return lambda: run(y, Xs)
+        return lambda: run(X, y, Xs)
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="predict_knn")
 
 
 def vecchia_lml_grad(N=1_000_000, k=32, block=8192, iters=2):
@@ -334,7 +370,7 @@ def vecchia_lml_grad(N=1_000_000, k=32, block=8192, iters=2):
 
         return partial(run, x0, y)
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="vecchia_lml_grad")
 
 
 def vecchia_nugget_lml_grad(N=1_000_000, k=32, block=8192, iters=2):
@@ -371,7 +407,7 @@ def vecchia_nugget_lml_grad(N=1_000_000, k=32, block=8192, iters=2):
 
         return partial(run, x0, y)
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="vecchia_nugget")
 
 
 def block_vecchia_lml_grad(N=1_000_000, b=64, k=64, iters=2):
@@ -405,7 +441,7 @@ def block_vecchia_lml_grad(N=1_000_000, b=64, k=64, iters=2):
 
         return partial(run, x, y)
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="block_vecchia_grad")
 
 
 def vecchia_sparse_build(N=1_000_000, k=32, iters=3):
@@ -434,8 +470,10 @@ def vecchia_sparse_build(N=1_000_000, k=32, iters=3):
     nbr = jnp.asarray(nbr_np, jnp.int32)
 
     def make_run(n):
+        # nbr is 128 MB (N x k int32) — MUST be a jit argument, not a baked
+        # constant (remote-compile payload limit / lowering fetch hazard)
         @jax.jit
-        def run(x):
+        def run(x, nbr):
             def body(c, _):
                 rep = approx_root_prec_sparse(x + c * 0, nbr, kern)
                 return c + 0.0 * rep.diag[0], jnp.sum(rep.diag)
@@ -443,9 +481,9 @@ def vecchia_sparse_build(N=1_000_000, k=32, iters=3):
             _, vals = jax.lax.scan(body, jnp.zeros((), dtype), None, length=n)
             return vals[-1]
 
-        return partial(run, x0)
+        return partial(run, x0, nbr)
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="vecchia_sparse")
 
 
 def laplace_cg_mode(N=20000, iters=2):
@@ -485,7 +523,7 @@ def laplace_cg_mode(N=20000, iters=2):
 
         return partial(run, x)
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="laplace_cg")
 
 
 def svgp_predict_sweep(M=2048, Ntest=1_000_000, D=8, block=16384, iters=5):
@@ -526,7 +564,7 @@ def svgp_predict_sweep(M=2048, Ntest=1_000_000, D=8, block=16384, iters=5):
 
         return partial(run, params, xs)
 
-    ms = chained_step_ms(make_run, iters=iters)
+    ms = chained_step_ms(make_run, iters=iters, label="predict_sweep")
     gb = Ntest * (D + 2) * 4 / 1e9
     # analytic model FLOPs: per test point, gram (2·M·D) + S_corr
     # projection (2·M², dominant) + O(M) epilogue reductions
@@ -586,7 +624,7 @@ def natgrad_hybrid(M=2048, batch=8192, D=8, num_data=1_000_000, iters=10):
     step, init = make_natgrad_adam_step(elbo_fn, optax.adam(1e-3), nat_lr=0.1)
     carry0 = jax.jit(init)(hyper0, p["m"], p["A"])
 
-    def body(carry, i):
+    def body(carry, i, x_full, y_full):
         idx = jax.random.randint(
             jax.random.fold_in(key, i), (batch,), 0, num_data
         )
@@ -594,16 +632,19 @@ def natgrad_hybrid(M=2048, batch=8192, D=8, num_data=1_000_000, iters=10):
         return carry, e
 
     def make_run(n):
+        # dataset as jit ARGUMENTS (constant-embedding hazard, see headline)
         @jax.jit
-        def run(carry):
+        def run(carry, x_full, y_full):
             (hyper, _, m, L, _), es = jax.lax.scan(
-                body, carry, jnp.arange(n)
+                partial(body, x_full=x_full, y_full=y_full),
+                carry,
+                jnp.arange(n),
             )
             return es[-1] + jnp.sum(m) * 0.0 + jnp.sum(hyper["k"]) * 0.0
 
-        return partial(run, carry0)
+        return partial(run, carry0, x_full, y_full)
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="natgrad_hybrid")
 
 
 def poisson_svgp(M=1024, batch=8192, num_data=100_000, iters=10):
@@ -657,7 +698,7 @@ def poisson_svgp(M=1024, batch=8192, num_data=100_000, iters=10):
 
         return run
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="poisson_svgp")
 
 
 def block_vecchia_lml(N=1_000_000, b=64, k=64, iters=3):
@@ -674,16 +715,16 @@ def block_vecchia_lml(N=1_000_000, b=64, k=64, iters=3):
 
     def make_run(n):
         @jax.jit
-        def run():
+        def run(x, y):
             def body(c, _):
                 return c + agp.approx_lml(nn, f(x, 0.0), y) * 1e-30, None
 
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return c
 
-        return run
+        return partial(run, x, y)
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="block_vecchia_lml")
 
 
 def laplace_n5k(N=5000, iters=3):
@@ -717,12 +758,19 @@ def laplace_n5k(N=5000, iters=3):
 
         return run
 
-    return chained_step_ms(make_run, iters=iters)
+    return chained_step_ms(make_run, iters=iters, label="laplace_n5k")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="also run secondary benches")
+    ap.add_argument(
+        "--all-json",
+        action="store_true",
+        dest="all_json",
+        help="run secondary benches and emit them as JSON lines on STDOUT "
+        "(headline line first, unchanged)",
+    )
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--M", type=int, default=2048)
     args = ap.parse_args()
@@ -735,9 +783,13 @@ def main():
         "vs_baseline": round(50.0 / ms, 3),
         **info,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
-    if args.full:
+    if args.full or args.all_json:
+        # --all-json: secondary metrics as JSON lines on STDOUT after the
+        # headline, so the driver/CI can archive them (VERDICT r4 item 6);
+        # --full keeps the legacy stderr stream.
+        out = sys.stdout if args.all_json else sys.stderr
         def headline_bf16():
             from approximategps_tpu.config import set_config
 
@@ -786,9 +838,19 @@ def main():
         ]:
             try:
                 v = fn()
-                print(json.dumps({"metric": name, "value": round(v, 1), "unit": "ms"}), file=sys.stderr)
+                print(
+                    json.dumps(
+                        {"metric": name, "value": round(v, 1), "unit": "ms"}
+                    ),
+                    file=out,
+                    flush=True,
+                )
             except Exception as e:  # keep the headline robust
-                print(json.dumps({"metric": name, "error": str(e)[:200]}), file=sys.stderr)
+                print(
+                    json.dumps({"metric": name, "error": str(e)[:200]}),
+                    file=out,
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":

@@ -99,18 +99,26 @@ def test_posterior_uses_fast_cache_on_mocked_tpu(monkeypatch):
 
 def test_auto_compute_dtype_gates_on_m(monkeypatch):
     """compute_dtype='auto' (the default): bf16 projection storage engages
-    on TPU f32 only at M >= tri_matmul_min_m — where the (M, B) HBM traffic
-    floors the step (M=8192: 80.0 -> 74.9 ms); a wash at M=2048 (measured
-    A/B), so f32 stays there.  f64 oracle inputs are never downcast."""
+    on TPU f32 only at M >= bf16_storage_min_m — its OWN gate (ADVICE r4:
+    a production-numerics switch must not ride the tri_matmul_min_m flop
+    gate), defaulting to 4096 where the (M, B) HBM traffic floors the step
+    (M=8192: 80.0 -> 74.9 ms); a wash at M=2048 (measured A/B), so f32
+    stays there.  f64 oracle inputs are never downcast."""
     from approximategps_tpu.models.svgp import _storage_dtype
 
     assert config.compute_dtype == "auto"
+    assert config.bf16_storage_min_m == 4096
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert _storage_dtype(jnp.float32, 8192) == jnp.bfloat16
     assert _storage_dtype(jnp.float32, 4096) == jnp.bfloat16
     assert _storage_dtype(jnp.float32, 2048) is None
     assert _storage_dtype(jnp.float32, None) is None
     assert _storage_dtype(jnp.float64, 8192) is None
+    # the storage gate is independent of the flop gate
+    with config_context(tri_matmul_min_m=16):
+        assert _storage_dtype(jnp.float32, 2048) is None
+    with config_context(bf16_storage_min_m=1024):
+        assert _storage_dtype(jnp.float32, 2048) == jnp.bfloat16
     with config_context(compute_dtype="bfloat16"):
         assert _storage_dtype(jnp.float32, 32) == jnp.bfloat16
     with config_context(compute_dtype="float32"):

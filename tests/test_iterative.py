@@ -379,6 +379,35 @@ def test_slq_preconditioned_matches_unpreconditioned(key):
     np.testing.assert_allclose(np.asarray(g3), np.asarray(g0), rtol=1e-6)
 
 
+def test_slq_stale_precond_logdet_unbiased(key):
+    """ADVICE r4 (medium): with a CARRIED stale factor and precond_logdet
+    (the default), C = P^{-1/2} K̂ P^{-1/2} is NOT provably ⪰ I — its sub-1
+    eigenvalues are real, so the Ritz floor must drop below 1 for carried
+    factors or the value is one-sidedly clamp-biased.
+
+    Adversarial staleness: the stale factor's kernel has LARGER variance
+    than the current one, pushing much of C's spectrum strictly below 1.
+    The fresh-factor path (floor = 1, provable) must stay accurate too."""
+    from approximategps_tpu.core.gp import logpdf
+    from approximategps_tpu.models.iterative import pivoted_cholesky
+
+    f, fx, x, y = _setup(key, N=80)
+    kw = dict(num_probes=24, lanczos_iters=50, cg_tol=1e-10)
+    k0 = jax.random.PRNGKey(0)
+    v_exact = float(logpdf(fx, y))
+
+    # stale factor from a 4x-variance kernel: C ≺ I over the top of the
+    # spectrum, eigenvalues ~0.25-class — the old floor=1.0 clamps them all
+    kern_stale = 6.0 * agp.with_lengthscale(agp.Matern52Kernel(), 0.8)
+    Lk = pivoted_cholesky(kern_stale, x, 40)
+    v_stale = float(logpdf_slq(fx, y, k0, precond_Lk=Lk, **kw))
+    assert abs(v_stale - v_exact) < 0.02 * abs(v_exact), (v_stale, v_exact)
+
+    # fresh path unchanged: provable floor, matches exact
+    v_fresh = float(logpdf_slq(fx, y, k0, precond_rank=40, **kw))
+    assert abs(v_fresh - v_exact) < 0.02 * abs(v_exact), (v_fresh, v_exact)
+
+
 def test_make_slq_hyperopt_step_refresh_schedule(key):
     """The carried preconditioner refreshes ONLY on schedule (every
     refresh_every steps), the loss decreases over a short run, and the

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import approximategps_tpu as agp
 from approximategps_tpu.models.vecchia import (
@@ -550,6 +551,32 @@ def test_knn_search_grid_matches_scan(key):
         # rtol covers f64 summation-association noise vs numpy pairwise sum
         np.testing.assert_allclose(got, np.asarray(d2_g), rtol=1e-12,
                                    atol=1e-12)
+
+
+def test_knn_search_grid_forced_signals_degradation(key):
+    """ADVICE r4: mode='grid' explicitly forced must not silently degrade —
+    d > 3 raises (documented spatial contract), and a problem where no
+    useful grid exists warns before running the blocked scan (exactly)."""
+    import warnings
+
+    from approximategps_tpu.ops.knn import knn_search
+
+    k1, k2 = jax.random.split(key)
+    with pytest.raises(ValueError, match="d <= 3"):
+        knn_search(jax.random.normal(k1, (64, 4)),
+                   jax.random.normal(k2, (8, 4)), 3, mode="grid")
+
+    # tiny n: G < 4, no useful grid — forced grid warns and falls back
+    Xtr = jax.random.normal(k1, (200, 2))
+    Xte = jax.random.normal(k2, (16, 2))
+    with pytest.warns(RuntimeWarning, match="no useful grid"):
+        idx_g, d2_g = knn_search(Xtr, Xte, 5, mode="grid")
+    idx_s, d2_s = knn_search(Xtr, Xte, 5, mode="scan")
+    np.testing.assert_array_equal(np.asarray(d2_g), np.asarray(d2_s))
+    # auto mode on the same problem stays silent (no forced-grid warning)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        knn_search(Xtr, Xte, 5, mode="auto")
 
 
 def test_knn_search_grid_fallback_exact(key):
