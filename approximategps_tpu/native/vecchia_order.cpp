@@ -19,14 +19,26 @@
 //   maximin:   lazy-deletion max-heap over dist-to-ordered-set + radius-
 //              bounded updates (each selection only touches points within
 //              the current maximin radius) — ~O(N log N) vs O(N^2).
-//   nearest:   incremental grid over the ordered prefix + expanding-ring
-//              kNN with the kth-best bound as the stopping rule.
+//   nearest:   expanding-ring kNN over the ordered prefix with the kth-best
+//              bound as the stopping rule.
 //   scaled:    ring search for ell_i (nearest predecessor), then one range
 //              query at rho*ell_i, keeping the k nearest in-ball.
 //
+// The grid is a PACKED-CSR structure (cell_ptr offsets + per-cell ids and
+// coordinates stored contiguously, ids ascending within each cell) rather
+// than bucket-of-vectors: the query loops are memory-bound on this box
+// (1 CPU), and the packed layout both streams candidates from contiguous
+// memory and lets the predecessor filter (only ids < i are valid) early-exit
+// per cell instead of scanning rejects.  The predecessor searches rebuild
+// the grid at doubling prefix capacities (total rebuild work <= 2N inserts,
+// a geometric series) so cell occupancy tracks the CURRENT prefix density;
+// the initial query radius is derived from the true predecessor count i so
+// the first ring targets ~1.6k candidates instead of over-covering.
+//
 // Measured at N=1e6 uniform 2-D points, k=32 (this box, 1 CPU): maximin
-// 1.9 s, nearest-predecessors 3.3 s, scaled(rho=3) 4.6 s — the O(N^2)
-// scans extrapolate to >10 min each.
+// 6.6 s, nearest-predecessors 3.1 s, scaled(rho=3) 1.1 s — was 10.4 / 32 /
+// 3.3 with the bucket-of-vectors grid, and the O(N^2) scans extrapolate to
+// >10 min each.
 
 #include <cstdint>
 #include <cstring>
@@ -50,69 +62,138 @@ inline double sqdist(const double* a, const double* b, int64_t D) {
 constexpr int64_t kGridMaxD = 4;      // grid paths only for spatial D
 constexpr int64_t kBruteMinN = 2048;  // below this brute force wins anyway
 
-// Uniform grid over the bounding box of a point set.  Buckets hold point
-// ids; insertion can be up-front (maximin) or incremental (predecessor
-// searches insert each point after its query).
-struct Grid {
+// Volume of the unit L2 ball per dimension, for the expected-count initial
+// radius: a ball of radius r among n points of density n/vol holds
+// ~ n * c_D r^D / vol points.
+constexpr double kBallVol[kGridMaxD + 1] = {
+    1.0, 2.0, 3.14159265358979324, 4.18879020478639098, 4.93480220054467931};
+
+// kth-best tracker with lowest-index tie-break, matching the brute scans'
+// "strictly better replaces" + ascending-position emission.  Flat max-heap
+// over (dist, pos) with REUSABLE storage (reset() keeps capacity): the
+// query loops run one of these per point and a fresh priority_queue per
+// query was measurable allocator churn.  Lexicographic max-heap order means
+// among equal dists the LARGEST pos is on top and gets evicted first,
+// matching a brute scan that only replaces on strict improvement (keeps the
+// earliest positions).
+struct KBest {
+    int64_t k = 0;
+    std::vector<std::pair<double, int64_t>> v;  // max-heap (lexicographic)
+    std::vector<int64_t> scratch;               // emit workspace
+    explicit KBest(int64_t kk = 0) { reset(kk); }
+    void reset(int64_t kk) {
+        k = kk;
+        v.clear();
+    }
+    inline double bound() const {
+        return (static_cast<int64_t>(v.size()) < k)
+                   ? std::numeric_limits<double>::infinity()
+                   : v.front().first;
+    }
+    inline void offer(double d, int64_t pos) {
+        if (k <= 0) return;
+        if (static_cast<int64_t>(v.size()) < k) {
+            v.emplace_back(d, pos);
+            std::push_heap(v.begin(), v.end());
+        } else if (d < v.front().first ||
+                   (d == v.front().first && pos < v.front().second)) {
+            std::pop_heap(v.begin(), v.end());
+            v.back() = {d, pos};
+            std::push_heap(v.begin(), v.end());
+        }
+    }
+    void emit(int64_t* out, int64_t k_out) {
+        scratch.clear();
+        for (const auto& e : v) scratch.push_back(e.second);
+        std::sort(scratch.begin(), scratch.end());
+        for (int64_t t = 0; t < k_out; ++t)
+            out[t] = (t < static_cast<int64_t>(scratch.size())) ? scratch[t]
+                                                                : -1;
+    }
+};
+
+// Uniform grid over the bounding box of the first m rows of a point set,
+// packed CSR: ptr (ncells+1) offsets into ids/pts, ids ASCENDING within
+// each cell (stable counting sort), coordinates copied alongside so range
+// queries stream contiguous memory instead of gathering rows of X.
+struct PackedGrid {
     int64_t D = 0;
     int64_t ncells = 1;
-    std::vector<double> lo, hi;     // (D)
-    std::vector<double> inv_h, h;   // (D) cell size per dim
-    std::vector<int64_t> res;       // (D) cells per dim
-    std::vector<int64_t> stride;    // (D)
-    std::vector<std::vector<int32_t>> bucket;
-    const double* X = nullptr;      // (N, D) row-major, not owned
-    double h_min = 0.0;
+    int64_t live_dims = 0;
+    int64_t res[kGridMaxD], stride[kGridMaxD];
+    double lo[kGridMaxD], hi[kGridMaxD];
+    double h[kGridMaxD], inv_h[kGridMaxD];
+    double h_min = 1.0;
+    std::vector<int64_t> ptr;
+    std::vector<int32_t> ids;
+    std::vector<double> pts;
+    std::vector<int64_t> cell_scratch;
 
-    void init(const double* Xp, int64_t N, int64_t Dp, int64_t target_occ) {
-        X = Xp;
+    void build(const double* Xp, int64_t m, int64_t Dp, int64_t target_occ) {
         D = Dp;
-        lo.assign(D, std::numeric_limits<double>::infinity());
-        hi.assign(D, -std::numeric_limits<double>::infinity());
-        for (int64_t i = 0; i < N; ++i)
+        for (int64_t d = 0; d < D; ++d) {
+            lo[d] = std::numeric_limits<double>::infinity();
+            hi[d] = -std::numeric_limits<double>::infinity();
+        }
+        for (int64_t i = 0; i < m; ++i)
             for (int64_t d = 0; d < D; ++d) {
                 const double v = Xp[i * D + d];
                 lo[d] = std::min(lo[d], v);
                 hi[d] = std::max(hi[d], v);
             }
         // aim for ~target_occ points per cell: equal cell EDGE h across
-        // dims, h = (vol / (N / occ))^(1/D) with degenerate-extent guards
+        // dims, h = (vol / (m / occ))^(1/D) with degenerate-extent guards
         double vol = 1.0;
-        int64_t live_dims = 0;
+        live_dims = 0;
         for (int64_t d = 0; d < D; ++d) {
             const double e = hi[d] - lo[d];
             if (e > 0) { vol *= e; ++live_dims; }
         }
         const double want_cells =
-            std::max<double>(1.0, static_cast<double>(N) /
+            std::max<double>(1.0, static_cast<double>(m) /
                                       std::max<int64_t>(1, target_occ));
         const double hh = live_dims > 0
             ? std::pow(vol / want_cells, 1.0 / static_cast<double>(live_dims))
             : 1.0;
-        res.assign(D, 1);
-        h.assign(D, 1.0);
-        inv_h.assign(D, 0.0);
         ncells = 1;
         for (int64_t d = 0; d < D; ++d) {
             const double e = hi[d] - lo[d];
+            res[d] = 1;
             if (e > 0 && hh > 0) {
                 res[d] = std::max<int64_t>(
                     1, static_cast<int64_t>(std::floor(e / hh)));
-                // cap total cells at ~4N to bound memory on skewed aspect
-                if (ncells * res[d] > 4 * N)
-                    res[d] = std::max<int64_t>(1, 4 * N / std::max<int64_t>(1, ncells));
+                // cap total cells at ~4m to bound memory on skewed aspect
+                if (ncells * res[d] > 4 * m)
+                    res[d] = std::max<int64_t>(
+                        1, 4 * m / std::max<int64_t>(1, ncells));
             }
             h[d] = (e > 0) ? e / static_cast<double>(res[d]) : 1.0;
             inv_h[d] = (e > 0) ? 1.0 / h[d] : 0.0;
             ncells *= res[d];
         }
-        stride.assign(D, 1);
-        for (int64_t d = D - 2; d >= 0; --d) stride[d] = stride[d + 1] * res[d + 1];
-        bucket.assign(static_cast<size_t>(ncells), {});
+        for (int64_t d = D - 1; d >= 0; --d)
+            stride[d] = (d == D - 1) ? 1 : stride[d + 1] * res[d + 1];
         h_min = std::numeric_limits<double>::infinity();
         for (int64_t d = 0; d < D; ++d)
             if (hi[d] - lo[d] > 0) h_min = std::min(h_min, h[d]);
         if (!std::isfinite(h_min)) h_min = 1.0;  // all-degenerate input
+
+        // CSR fill: count, exclusive scan, stable ascending-id placement
+        ptr.assign(static_cast<size_t>(ncells) + 1, 0);
+        ids.resize(m);
+        pts.resize(static_cast<size_t>(m) * D);
+        cell_scratch.resize(m);
+        for (int64_t i = 0; i < m; ++i) {
+            cell_scratch[i] = cell_of(&Xp[i * D]);
+            ++ptr[cell_scratch[i] + 1];
+        }
+        for (int64_t c = 0; c < ncells; ++c) ptr[c + 1] += ptr[c];
+        std::vector<int64_t> cur(ptr.begin(), ptr.end() - 1);
+        for (int64_t i = 0; i < m; ++i) {
+            const int64_t at = cur[cell_scratch[i]]++;
+            ids[at] = static_cast<int32_t>(i);
+            std::memcpy(&pts[at * D], &Xp[i * D], sizeof(double) * D);
+        }
     }
 
     inline int64_t cell_coord(double v, int64_t d) const {
@@ -125,9 +206,6 @@ struct Grid {
         for (int64_t d = 0; d < D; ++d) id += cell_coord(x[d], d) * stride[d];
         return id;
     }
-
-    void insert(int64_t i) { bucket[cell_of(&X[i * D])].push_back(
-        static_cast<int32_t>(i)); }
 
     // squared distance from point x to the closed cell box `cc` (per-dim ids)
     inline double cell_min_sq(const double* x, const int64_t* cc) const {
@@ -143,21 +221,31 @@ struct Grid {
         return s;
     }
 
-    // Visit every stored id in cells whose min distance to x is <= r2.
+    // Visit every stored id < id_limit in cells whose min distance to x is
+    // <= r2, passing the id and its PACKED coordinate row.  Ids ascend
+    // within a cell, so the id_limit filter breaks out of a cell at the
+    // first reject instead of scanning them.  (Stack arrays: this is the
+    // innermost query loop — a heap allocation trio per call measured as
+    // real time over ~1e7 ring queries.)
     template <typename F>
-    void range(const double* x, double r2, F&& f) const {
+    void range(const double* x, double r2, int32_t id_limit, F&& f) const {
         const double r = std::sqrt(r2);
-        std::vector<int64_t> clo(D), chi(D), cc(D);
+        int64_t clo[kGridMaxD], chi[kGridMaxD], cc[kGridMaxD];
         for (int64_t d = 0; d < D; ++d) {
             clo[d] = cell_coord(x[d] - r, d);
             chi[d] = cell_coord(x[d] + r, d);
             cc[d] = clo[d];
         }
         while (true) {
-            if (cell_min_sq(x, cc.data()) <= r2) {
+            if (cell_min_sq(x, cc) <= r2) {
                 int64_t id = 0;
                 for (int64_t d = 0; d < D; ++d) id += cc[d] * stride[d];
-                for (int32_t j : bucket[id]) f(j);
+                const int64_t end = ptr[id + 1];
+                for (int64_t t = ptr[id]; t < end; ++t) {
+                    const int32_t j = ids[t];
+                    if (j >= id_limit) break;
+                    f(j, &pts[t * D]);
+                }
             }
             int64_t d = D - 1;
             while (d >= 0) {
@@ -180,39 +268,19 @@ struct Grid {
         }
         return s;
     }
-};
 
-// kth-best tracker with lowest-index tie-break, matching the brute scans'
-// "strictly better replaces" + ascending-position emission.
-struct KBest {
-    int64_t k;
-    // max-heap on (dist, pos): among equal dists the LARGEST pos is on top
-    // and gets evicted first, matching a brute scan that only replaces on
-    // strict improvement (keeps the earliest positions).
-    std::priority_queue<std::pair<double, int64_t>> heap;
-    explicit KBest(int64_t kk) : k(kk) {}
-    inline double bound() const {
-        return (static_cast<int64_t>(heap.size()) < k)
-                   ? std::numeric_limits<double>::infinity()
-                   : heap.top().first;
-    }
-    inline void offer(double d, int64_t pos) {
-        if (k <= 0) return;
-        if (static_cast<int64_t>(heap.size()) < k) {
-            heap.emplace(d, pos);
-        } else if (d < heap.top().first ||
-                   (d == heap.top().first && pos < heap.top().second)) {
-            heap.pop();
-            heap.emplace(d, pos);
-        }
-    }
-    void emit(int64_t* out, int64_t k_out) {
-        std::vector<int64_t> got;
-        got.reserve(heap.size());
-        while (!heap.empty()) { got.push_back(heap.top().second); heap.pop(); }
-        std::sort(got.begin(), got.end());
-        for (int64_t t = 0; t < k_out; ++t)
-            out[t] = (t < static_cast<int64_t>(got.size())) ? got[t] : -1;
+    // Initial squared radius for a query expecting ~target candidates among
+    // n_pred uniformly-spread predecessors: solve n_pred * c_L r^L / vol =
+    // target with vol estimated from the grid resolution (h^L * m / occ).
+    // An underestimate only costs a doubling round; the ring loop corrects.
+    double guess_r2(int64_t n_pred, int64_t m, int64_t target_occ,
+                    double target) const {
+        const int64_t L = std::max<int64_t>(1, live_dims);
+        const double per = target * static_cast<double>(m) /
+                           (static_cast<double>(target_occ) * kBallVol[L] *
+                            std::max<int64_t>(1, n_pred));
+        return h_min * h_min *
+               std::pow(std::max(per, 1.0), 2.0 / static_cast<double>(L));
     }
 };
 
@@ -259,8 +327,9 @@ void maximin_brute(const double* X, int64_t N, int64_t D, int64_t* order) {
 
 void nearest_brute(const double* Xo, int64_t N, int64_t D, int64_t k,
                    int64_t* nbr) {
+    KBest kb;
     for (int64_t i = 0; i < N; ++i) {
-        KBest kb(std::min<int64_t>(k, i));
+        kb.reset(std::min<int64_t>(k, i));
         const double* xi = &Xo[i * D];
         for (int64_t j = 0; j < i; ++j)
             kb.offer(sqdist(xi, &Xo[j * D], D), j);
@@ -272,6 +341,7 @@ void scaled_brute(const double* Xo, int64_t N, int64_t D, double rho,
                   int64_t k, int64_t* nbr) {
     const double rho2 = rho * rho;
     std::vector<double> d;
+    KBest kb;
     for (int64_t i = 0; i < N; ++i) {
         if (i == 0) {
             for (int64_t t = 0; t < k; ++t) nbr[t] = -1;
@@ -285,7 +355,7 @@ void scaled_brute(const double* Xo, int64_t N, int64_t D, double rho,
             if (d[j] < ell2) ell2 = d[j];
         }
         const double r2 = rho2 * ell2;
-        KBest kb(k);
+        kb.reset(k);
         for (int64_t j = 0; j < i; ++j)
             if (d[j] <= r2) kb.offer(d[j], j);
         kb.emit(&nbr[i * k], k);
@@ -317,9 +387,9 @@ void agp_maximin_order(const double* X, int64_t N, int64_t D, int64_t* order) {
         if (s < best) { best = s; first = i; }
     }
 
-    Grid grid;
-    grid.init(X, N, D, /*target_occ=*/2);
-    for (int64_t i = 0; i < N; ++i) grid.insert(i);
+    PackedGrid grid;
+    grid.build(X, N, D, /*target_occ=*/2);
+    const int32_t all = (N < INT32_MAX) ? static_cast<int32_t>(N) : INT32_MAX;
 
     std::vector<double> mind(N);
     std::vector<char> taken(N, 0);
@@ -350,9 +420,9 @@ void agp_maximin_order(const double* X, int64_t N, int64_t D, int64_t* order) {
         // every point needing an update satisfies dist(j, pick) <
         // sqrt(mind[j]) <= sqrt(mind[pick]) — one radius query suffices
         const double r2 = mind[pick];
-        grid.range(xp, r2, [&](int32_t j) {
+        grid.range(xp, r2, all, [&](int32_t j, const double* xj) {
             if (taken[j]) return;
-            const double s = sqdist(&X[static_cast<int64_t>(j) * D], xp, D);
+            const double s = sqdist(xj, xp, D);
             if (s < mind[j]) {
                 mind[j] = s;
                 heap.emplace(s, -static_cast<int64_t>(j));
@@ -374,14 +444,28 @@ void agp_nearest_predecessors(const double* X, int64_t N, int64_t D,
         return;
     }
 
-    Grid grid;
-    grid.init(Xo.data(), N, D, /*target_occ=*/2);
     // brute warmup: with few predecessors the ring search scans mostly
     // empty cells (maximin prefixes span the whole domain)
     const int64_t warm = std::min<int64_t>(N, std::max<int64_t>(4 * k, 256));
+    // Density-matched re-gridding: a grid sized for all N points makes the
+    // early ring queries sweep ~N/i mostly-empty cells each (the prefix is
+    // sparse in a resolution built for the full set).  Build over the
+    // current prefix [0, P) and rebuild at doubling capacities; total
+    // rebuild work is <= 2N inserts (geometric series).  Queries filter to
+    // ids < i, which the packed ascending-id cells early-exit on.
+    const int64_t occ = 2;
+    PackedGrid grid;
+    int64_t P = std::min<int64_t>(N, std::max<int64_t>(2 * warm, 4096));
+    grid.build(Xo.data(), P, D, occ);
+    KBest kb;
     for (int64_t i = 0; i < N; ++i) {
+        if (i == P && P < N) {
+            P = std::min<int64_t>(N, 2 * P);
+            grid.build(Xo.data(), P, D, occ);
+        }
         const double* xi = &Xo[i * D];
-        KBest kb(std::min<int64_t>(k, i));
+        const int64_t ki = std::min<int64_t>(k, i);
+        kb.reset(ki);
         if (i <= warm) {
             for (int64_t j = 0; j < i; ++j)
                 kb.offer(sqdist(xi, &Xo[j * D], D), j);
@@ -390,25 +474,22 @@ void agp_nearest_predecessors(const double* X, int64_t N, int64_t D,
             // inside the queried radius (anything outside is farther).
             // Each round restarts the candidate set — the larger box
             // revisits the smaller one, and restarting keeps the tracker
-            // duplicate-free.
-            const double cap = grid.max_extent_sq(xi);
-            double r2 = grid.h_min * grid.h_min *
-                        std::pow(static_cast<double>(k), 2.0 / D);
+            // duplicate-free.  The first radius targets ~1.6k candidates
+            // among the i true predecessors (k expected + slack so a
+            // second round is the exception, not the rule).
+            const double capr2 = grid.max_extent_sq(xi);
+            double r2 = grid.guess_r2(i, P, occ, 1.6 * static_cast<double>(k));
             while (true) {
-                KBest kb2(std::min<int64_t>(k, i));
-                grid.range(xi, r2, [&](int32_t j) {
-                    kb2.offer(
-                        sqdist(xi, &Xo[static_cast<int64_t>(j) * D], D), j);
-                });
-                if (kb2.bound() <= r2 || r2 >= cap) {
-                    kb = std::move(kb2);
-                    break;
-                }
+                kb.reset(ki);
+                grid.range(xi, r2, static_cast<int32_t>(i),
+                           [&](int32_t j, const double* xj) {
+                               kb.offer(sqdist(xi, xj, D), j);
+                           });
+                if (kb.bound() <= r2 || r2 >= capr2) break;
                 r2 *= 4.0;  // double the radius
             }
         }
         kb.emit(&nbr[i * k], k);
-        grid.insert(i);
     }
 }
 
@@ -431,18 +512,25 @@ void agp_scaled_predecessors(const double* X, int64_t N, int64_t D,
     }
 
     const double rho2 = rho * rho;
-    Grid grid;
-    grid.init(Xo.data(), N, D, /*target_occ=*/2);
     const int64_t warm = std::min<int64_t>(N, std::max<int64_t>(4 * k, 256));
+    // density-matched re-gridding, same schedule as agp_nearest_predecessors
+    const int64_t occ = 2;
+    PackedGrid grid;
+    int64_t P = std::min<int64_t>(N, std::max<int64_t>(2 * warm, 4096));
+    grid.build(Xo.data(), P, D, occ);
     std::vector<double> d;
+    KBest kb;
     for (int64_t i = 0; i < N; ++i) {
+        if (i == P && P < N) {
+            P = std::min<int64_t>(N, 2 * P);
+            grid.build(Xo.data(), P, D, occ);
+        }
         const double* xi = &Xo[i * D];
         if (i == 0) {
             for (int64_t t = 0; t < k; ++t) nbr[t] = -1;
-            grid.insert(0);
             continue;
         }
-        KBest kb(k);
+        kb.reset(k);
         if (i <= warm) {
             d.resize(i);
             double ell2 = std::numeric_limits<double>::infinity();
@@ -454,29 +542,29 @@ void agp_scaled_predecessors(const double* X, int64_t N, int64_t D,
             for (int64_t j = 0; j < i; ++j)
                 if (d[j] <= r2) kb.offer(d[j], j);
         } else {
-            // ell_i: 1-NN among predecessors by doubling range queries
-            const double cap = grid.max_extent_sq(xi);
-            double q2 = grid.h_min * grid.h_min;
+            // ell_i: 1-NN among predecessors by doubling range queries,
+            // starting from a radius expecting ~2 candidates
+            const double capr2 = grid.max_extent_sq(xi);
+            double q2 = grid.guess_r2(i, P, occ, 2.0);
             double ell2 = std::numeric_limits<double>::infinity();
             while (true) {
-                grid.range(xi, q2, [&](int32_t j) {
-                    const double s =
-                        sqdist(xi, &Xo[static_cast<int64_t>(j) * D], D);
-                    if (s < ell2) ell2 = s;
-                });
-                if (ell2 <= q2 || q2 >= cap) break;
+                grid.range(xi, q2, static_cast<int32_t>(i),
+                           [&](int32_t j, const double* xj) {
+                               const double s = sqdist(xi, xj, D);
+                               if (s < ell2) ell2 = s;
+                           });
+                if (ell2 <= q2 || q2 >= capr2) break;
                 q2 *= 4.0;
             }
             const double r2 = rho2 * ell2;
             // in-ball candidates, keep the k nearest (lowest index on ties)
-            grid.range(xi, r2, [&](int32_t j) {
-                const double s =
-                    sqdist(xi, &Xo[static_cast<int64_t>(j) * D], D);
-                if (s <= r2) kb.offer(s, j);
-            });
+            grid.range(xi, r2, static_cast<int32_t>(i),
+                       [&](int32_t j, const double* xj) {
+                           const double s = sqdist(xi, xj, D);
+                           if (s <= r2) kb.offer(s, j);
+                       });
         }
         kb.emit(&nbr[i * k], k);
-        grid.insert(i);
     }
 }
 
