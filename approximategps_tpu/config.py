@@ -141,6 +141,13 @@ class _Config:
     # each matvec stops re-evaluating N² kernel entries); above it, chunked
     # matvecs keep memory O(N·block).
     cg_dense_threshold: int = int(os.environ.get("AGP_CG_DENSE_N", "24576"))
+    # Single-RHS kernel-matvec tier (ops/gram_matvec.py): "auto" fuses
+    # gram + map + reduce in one Pallas pass on TPU f32/bf16 when the
+    # kernel unwraps to a scaled parameter-free stationary map with D ≤ 8
+    # (the chunked XLA path's per-block cost is dominated by the 128-padded
+    # HIGHEST distance matmul — 64× wasted MXU work at D=2); "fused" forces
+    # it (interpret mode off-TPU — test use), "xla" disables.
+    matvec_mode: str = os.environ.get("AGP_MATVEC_MODE", "auto")
 
 
 config = _Config()

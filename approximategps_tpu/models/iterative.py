@@ -202,8 +202,23 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None,
     # f32-class products — converged with identical iteration counts on
     # the Bernoulli Newton fixtures, see BENCH_NOTES).
     mv_prec = getattr(config, "cg_matvec_precision", "highest")
+    # Fused Pallas tier for SINGLE-RHS applications (CG/Lanczos/Newton
+    # recurrences — exactly where the XLA path pays a full gram per vector):
+    # K tiles live only in VMEM, distances ride the VPU instead of the
+    # 128-padded HIGHEST matmul.  Multi-RHS and vmapped calls fall through
+    # to the XLA block path, which amortizes one gram across columns.
+    from ..ops.gram_matvec import fused_stationary_matvec
+
+    fused = fused_stationary_matvec(kernel, X)
+
     if block_size is None or block_size >= N:
         def matvec(V):
+            if fused is not None and V.ndim == 1:
+                out = fused(V)
+                if out is not None:
+                    # noise_apply expects column layout (1-D noise would
+                    # broadcast (N,)·(N,) to (N, N) otherwise)
+                    return out + noise_apply(V[:, None])[:, 0]
             vec = V.ndim == 1
             if vec:
                 V = V[:, None]
@@ -220,6 +235,10 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None,
     Xb = Xp.reshape(n_blocks, bs, X.shape[1])
 
     def matvec(V):
+        if fused is not None and V.ndim == 1:
+            out = fused(V)
+            if out is not None:
+                return out + noise_apply(V[:, None])[:, 0]
         vec = V.ndim == 1
         if vec:
             V = V[:, None]

@@ -6,3 +6,4 @@ Pallas kernels in this package (Gram construction, batched small Cholesky)."""
 
 from . import gram
 from .gram import pallas_stationary_gram
+from .gram_matvec import pallas_gram_matvec
