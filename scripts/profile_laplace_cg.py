@@ -9,12 +9,21 @@ Usage: python scripts/profile_laplace_cg.py PHASE [N]
 Phases run as separate processes so no single XLA program risks the
 tunneled-worker watchdog (>2 min device-side) and compiles stay bounded.
 """
+import os
 import sys
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, ".")
 import approximategps_tpu as agp  # noqa: E402
