@@ -211,14 +211,28 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None,
 
     fused = fused_stationary_matvec(kernel, X)
 
+    def try_fused(V):
+        """Route 1-D AND single-column (N, 1) applications through the fused
+        kernel: cg_solve iterates single-RHS solves in column layout, and the
+        (N, 1) shape previously fell off this path onto the ~5x slower XLA
+        block gram — every CG-internal matvec of a LaplaceCG Newton solve
+        paid it (measured 90 vs 19.5 ms at N=1e5/D=2)."""
+        if fused is None or V.ndim > 2 or (V.ndim == 2 and V.shape[1] != 1):
+            return None
+        v1 = V if V.ndim == 1 else V[:, 0]
+        out = fused(v1)
+        if out is None:
+            return None
+        # noise_apply expects column layout (1-D noise would broadcast
+        # (N,)·(N,) to (N, N) otherwise)
+        out = out + noise_apply(v1[:, None])[:, 0]
+        return out if V.ndim == 1 else out[:, None]
+
     if block_size is None or block_size >= N:
         def matvec(V):
-            if fused is not None and V.ndim == 1:
-                out = fused(V)
-                if out is not None:
-                    # noise_apply expects column layout (1-D noise would
-                    # broadcast (N,)·(N,) to (N, N) otherwise)
-                    return out + noise_apply(V[:, None])[:, 0]
+            out = try_fused(V)
+            if out is not None:
+                return out
             vec = V.ndim == 1
             if vec:
                 V = V[:, None]
@@ -235,10 +249,9 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None,
     Xb = Xp.reshape(n_blocks, bs, X.shape[1])
 
     def matvec(V):
-        if fused is not None and V.ndim == 1:
-            out = fused(V)
-            if out is not None:
-                return out + noise_apply(V[:, None])[:, 0]
+        out = try_fused(V)
+        if out is not None:
+            return out
         vec = V.ndim == 1
         if vec:
             V = V[:, None]
