@@ -148,6 +148,13 @@ class _Config:
     # HIGHEST distance matmul — 64× wasted MXU work at D=2); "fused" forces
     # it (interpret mode off-TPU — test use), "xla" disables.
     matvec_mode: str = os.environ.get("AGP_MATVEC_MODE", "auto")
+    # Widest multi-RHS block the fused gram matvec accepts before falling
+    # back to the XLA block path.  The fused kernel's per-RHS increment is
+    # one VPU lane-reduction over the shared r²/transcendental tile
+    # (~1.6 ms per RHS at N=1e5/D=2) while the XLA path is gram-build
+    # bound and ~flat in R — measured crossover ≈ R 32-48; probe-blocked
+    # SLQ (R=16) and block-CG probes sit well inside it.
+    matvec_fused_max_rhs: int = int(os.environ.get("AGP_MATVEC_MAX_RHS", "32"))
 
 
 config = _Config()

@@ -212,21 +212,24 @@ def kernel_matvec(kernel, x: jax.Array, noise, block_size: int | None = None,
     fused = fused_stationary_matvec(kernel, X)
 
     def try_fused(V):
-        """Route 1-D AND single-column (N, 1) applications through the fused
-        kernel: cg_solve iterates single-RHS solves in column layout, and the
-        (N, 1) shape previously fell off this path onto the ~5x slower XLA
-        block gram — every CG-internal matvec of a LaplaceCG Newton solve
-        paid it (measured 90 vs 19.5 ms at N=1e5/D=2)."""
-        if fused is None or V.ndim > 2 or (V.ndim == 2 and V.shape[1] != 1):
+        """Route 1-D vectors AND narrow (N, R) column blocks through the
+        fused kernel.  cg_solve iterates single-RHS solves in (N, 1) column
+        layout, and that shape previously fell off this path onto the ~5x
+        slower XLA block gram — every CG-internal matvec of a LaplaceCG
+        Newton solve paid it (measured 90 vs 19.5 ms at N=1e5/D=2).  Narrow
+        blocks (probe-blocked SLQ Lanczos, block-CG probe solves) stay
+        fused up to config.matvec_fused_max_rhs; wider blocks return None
+        and take the XLA path where one gram amortizes across columns."""
+        if fused is None or V.ndim > 2:
             return None
-        v1 = V if V.ndim == 1 else V[:, 0]
-        out = fused(v1)
+        out = fused(V)
         if out is None:
             return None
         # noise_apply expects column layout (1-D noise would broadcast
         # (N,)·(N,) to (N, N) otherwise)
-        out = out + noise_apply(v1[:, None])[:, 0]
-        return out if V.ndim == 1 else out[:, None]
+        if V.ndim == 1:
+            return out + noise_apply(V[:, None])[:, 0]
+        return out + noise_apply(V)
 
     if block_size is None or block_size >= N:
         def matvec(V):
@@ -429,6 +432,51 @@ def _lanczos(matvec, v0, num_iters, reorth: bool = False):
         length=num_iters,
     )
     return alphas, betas[:-1]
+
+
+def _lanczos_block(matvec, V0, num_iters):
+    """R independent one-step Lanczos recurrences run column-blocked:
+    V0 (n, R) → (alphas (m, R), betas (m−1, R)).
+
+    Mathematically identical to ``vmap(_lanczos)`` over probes (each
+    column's recurrence is self-contained — per-column norms/dots, no
+    cross-column coupling), but the matvec sees a real (n, R) block
+    instead of a batch tracer, so probe sweeps ride the fused Pallas
+    gram-matvec tier (a vmapped call declines it by design) and multi-RHS
+    XLA paths amortize one gram across all probes per ITERATION rather
+    than per probe."""
+    norms = jnp.linalg.norm(V0, axis=0)
+    V = V0 / jnp.where(norms == 0, 1.0, norms)
+    R = V0.shape[1]
+    zero_r = jnp.zeros((R,), V0.dtype)
+
+    def step(carry, _):
+        V_prev, V, beta_prev = carry
+        W = matvec(V) - beta_prev[None, :] * V_prev
+        alpha = jnp.sum(W * V, axis=0)
+        W = W - alpha[None, :] * V
+        beta = jnp.linalg.norm(W, axis=0)
+        V_next = W / jnp.where(beta == 0, 1.0, beta)[None, :]
+        return (V, V_next, beta), (alpha, beta)
+
+    _, (alphas, betas) = jax.lax.scan(
+        step, (jnp.zeros_like(V), V, zero_r), None, length=num_iters
+    )
+    return alphas, betas[:-1]
+
+
+def _slq_quadrature(alphas, betas, n, ritz_floor):
+    """Mean Gauss quadrature Σ τ log λ over probe columns: alphas (m, R),
+    betas (m−1, R) → scalar mean of the per-probe n·e₁ᵀ log(T) e₁."""
+
+    def col(a, b):
+        T = jnp.diag(a) + jnp.diag(b, 1) + jnp.diag(b, -1)
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, ritz_floor)
+        tau = evecs[0, :] ** 2
+        return jnp.sum(tau * jnp.log(evals)) * n
+
+    return jnp.mean(jax.vmap(col, in_axes=(1, 1))(alphas, betas))
 
 
 def _lanczos_basis(matvec, v0, num_iters):
@@ -720,15 +768,26 @@ def _logpdf_slq_core(lanczos_iters, cg_tol, cg_maxiter, block_size, reorth,
             # still SPD, so only sub-eps Ritz values are noise.
             ritz_floor = float(jnp.finfo(probes.dtype).eps)
 
-    def probe_logdet(v):
-        alphas, betas = _lanczos(quad_mv, v, lanczos_iters, reorth=reorth)
-        T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
-        evals, evecs = jnp.linalg.eigh(T)
-        evals = jnp.maximum(evals, ritz_floor)
-        tau = evecs[0, :] ** 2
-        return jnp.sum(tau * jnp.log(evals)) * n
+    if reorth:
+        # the stored-basis recurrence keeps an (n, m) basis per probe —
+        # blocked it would be (n, m, R); keep the vmapped form there
+        def probe_logdet(v):
+            alphas, betas = _lanczos(quad_mv, v, lanczos_iters, reorth=True)
+            T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+            evals, evecs = jnp.linalg.eigh(T)
+            evals = jnp.maximum(evals, ritz_floor)
+            tau = evecs[0, :] ** 2
+            return jnp.sum(tau * jnp.log(evals)) * n
 
-    logdet = logdet0 + jnp.mean(jax.vmap(probe_logdet)(probes))
+        logdet_quad = jnp.mean(jax.vmap(probe_logdet)(probes))
+    else:
+        # column-blocked probes: the matvec sees a real (n, P) block per
+        # Lanczos iteration (fused Pallas tier / one shared gram) instead
+        # of P vmapped single-vector recurrences
+        alphas, betas = _lanczos_block(quad_mv, probes.T, lanczos_iters)
+        logdet_quad = _slq_quadrature(alphas, betas, n, ritz_floor)
+
+    logdet = logdet0 + logdet_quad
     return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
 

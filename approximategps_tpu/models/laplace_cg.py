@@ -37,7 +37,8 @@ from ..core.kernels import as_points
 from ..core.pytrees import pytree_dataclass, static_field
 from .api import approx_lml, posterior
 from .iterative import (
-    _lanczos,
+    _lanczos_block,
+    _slq_quadrature,
     cg_solve,
     kernel_matvec,
     pivoted_cholesky,
@@ -314,16 +315,11 @@ def _logdet_B_slq(lanczos_iters, cg_tol, cg_maxiter, block_size,
     kmv = _k_matvec(kern, x, block_size, noise, storage, mesh, axis_name)
     bmv = _b_matvec(kmv, Wsqrt)
     n = Wsqrt.shape[0]
-
-    def probe_logdet(v):
-        alphas, betas = _lanczos(bmv, v, lanczos_iters)
-        T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
-        evals, evecs = jnp.linalg.eigh(T)
-        evals = jnp.maximum(evals, 1e-30)
-        tau = evecs[0, :] ** 2
-        return jnp.sum(tau * jnp.log(evals)) * n
-
-    return jnp.mean(jax.vmap(probe_logdet)(probes))
+    # column-blocked probes (iterative._lanczos_block): each Lanczos
+    # iteration presents one (n, P) block to the matvec — fused Pallas
+    # gram tier / one shared gram — instead of P vmapped recurrences
+    alphas, betas = _lanczos_block(bmv, probes.T, lanczos_iters)
+    return _slq_quadrature(alphas, betas, n, 1e-30)
 
 
 def _logdet_B_slq_fwd(lanczos_iters, cg_tol, cg_maxiter, block_size,

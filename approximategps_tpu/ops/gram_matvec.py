@@ -12,13 +12,17 @@ coordinates ((tm,1) − (1,tn), exact subtraction — no |x|² cancellation, no
 centering needed), so the whole tile costs ~the transcendental map, and the
 (N, M) intermediate never round-trips HBM.
 
-Single-RHS only by design: multi-RHS block matvecs already amortize the
-gram across columns on the XLA path (the per-RHS cost is small), while CG /
-Lanczos / Newton recurrences are sequential single-vector applications —
-exactly where the XLA path pays the full gram per vector.  This is the
-TPU-native replacement for the matvec layer under GPyTorch-style BBMM
-solves (SURVEY.md §2.2 iterative tier; reference scope is dense-only —
-this tier is beyond-reference).
+Small-R multi-RHS is fused too (R ≤ ``config.matvec_fused_max_rhs``): the
+XLA block path's cost is gram-build-dominated and roughly FLAT in R (the
+distance matmul already pays 128 padded lanes), while the fused kernel's
+per-RHS increment is one lane-reduction (~1.6 ms per RHS at N=1e5) on top
+of the shared r²/transcendental tile — measured crossover ≈ R 32-48 at
+D=2.  Probe-blocked SLQ Lanczos recurrences (R=16) and block-CG solves
+land squarely in the fused regime; wide solves (Matheron path samples,
+batched predictions) stay on the XLA path where one gram serves all
+columns.  This is the TPU-native replacement for the matvec layer under
+GPyTorch-style BBMM solves (SURVEY.md §2.2 iterative tier; reference
+scope is dense-only — this tier is beyond-reference).
 
 Differentiable via a custom VJP built from the same fused primitive:
 ``v̄`` is the transposed fused matvec, and the input cotangents use the
@@ -154,11 +158,12 @@ def pallas_gram_matvec(
 ) -> jax.Array:
     """``out_i = Σ_j g(||x_i − z_j||²) v_j`` without materializing K.
 
-    Xq (N, D ≤ 8), Zk (M, D), v (M,) → (N,).  ``k_of_r2`` must be a static
-    parameter-free map (staticmethod — see ``unwrap_stationary``); fold
-    lengthscales into the inputs and variance onto the output.  Reverse-mode
-    differentiable w.r.t. Xq, Zk, v (fused backward — see module docstring);
-    forward-mode (jvp) is not supported, use the XLA path for that."""
+    Xq (N, D ≤ 8), Zk (M, D), v (M,) or (M, R ≤ 128) → (N,) / (N, R).
+    ``k_of_r2`` must be a static parameter-free map (staticmethod — see
+    ``unwrap_stationary``); fold lengthscales into the inputs and variance
+    onto the output.  Reverse-mode differentiable w.r.t. Xq, Zk, v (fused
+    backward — see module docstring); forward-mode (jvp) is not supported,
+    use the XLA path for that."""
     return _forward_multi(Xq, Zk, v, k_of_r2, tile_m, tile_n)
 
 
@@ -166,24 +171,53 @@ def _gmv_fwd(Xq, Zk, v, k_of_r2, tile_m, tile_n):
     return _forward_multi(Xq, Zk, v, k_of_r2, tile_m, tile_n), (Xq, Zk, v)
 
 
+def _coord_cotangent(Q, Zk, V2, O2, dfn, tile_m, tile_n):
+    """Q̄ for out = K(Q, Zk) V through the rank-R structure of
+    W = (Σ_r ō_r v_rᵀ) ∘ g'(r²):
+
+        Q̄_i = 2 (s_i ∘ q_i − U_i),   s_i = Σ_j W_ij,   U_id = Σ_j W_ij z_jd,
+
+    both reduced through fused g' passes with RHS blocks [V_c, V_c∘z_d]
+    ((1+D)·c columns per chunk, chunked so each pallas call stays ≤ 128
+    RHS), then contracted against ō columnwise — no (N, M) intermediate at
+    any R."""
+    D = Q.shape[1]
+    R = V2.shape[1]
+    acc = jnp.promote_types(Q.dtype, jnp.float32)
+    rc = max(1, 128 // (1 + D))
+    s = jnp.zeros((Q.shape[0],), acc)
+    U = jnp.zeros(Q.shape, acc)
+    for r0 in range(0, R, rc):
+        Vc = V2[:, r0 : r0 + rc]
+        Oc = O2[:, r0 : r0 + rc].astype(acc)
+        c = Vc.shape[1]
+        cols = jnp.concatenate(
+            [Vc] + [Vc * Zk[:, d : d + 1] for d in range(D)], axis=1
+        )
+        SU = _forward_multi(Q, Zk, cols, dfn, tile_m, tile_n).astype(acc)
+        s = s + jnp.sum(Oc * SU[:, :c], axis=1)
+        U = U + jnp.stack(
+            [
+                jnp.sum(Oc * SU[:, (1 + d) * c : (2 + d) * c], axis=1)
+                for d in range(D)
+            ],
+            axis=1,
+        )
+    return (2.0 * (s[:, None] * Q.astype(acc) - U)).astype(Q.dtype)
+
+
 def _gmv_bwd(k_of_r2, tile_m, tile_n, res, obar):
     Xq, Zk, v = res
     dfn = _grad_map(k_of_r2)
+    vec = v.ndim == 1
+    V2 = v[:, None] if vec else v
+    O2 = obar[:, None] if vec else obar
     # v̄ = Kᵀ ō: the transposed fused matvec (g is symmetric in its args)
-    vbar = _forward_multi(Zk, Xq, obar, k_of_r2, tile_m, tile_n)
-    # X̄q = 2 ō ∘ (s ∘ Xq − U), s_i = Σ_j g' v_j, U_id = Σ_j g' v_j z_jd:
-    # one fused pass, map g', RHS = [v, v∘Zk]  (1 + D columns)
-    SU = _forward_multi(
-        Xq, Zk, jnp.concatenate([v[:, None], v[:, None] * Zk], axis=1),
-        dfn, tile_m, tile_n,
-    )
-    Xqbar = 2.0 * obar[:, None] * (SU[:, :1] * Xq - SU[:, 1:])
-    SU2 = _forward_multi(
-        Zk, Xq, jnp.concatenate([obar[:, None], obar[:, None] * Xq], axis=1),
-        dfn, tile_m, tile_n,
-    )
-    Zkbar = 2.0 * v[:, None] * (SU2[:, :1] * Zk - SU2[:, 1:])
-    return Xqbar, Zkbar, vbar
+    vbar = _forward_multi(Zk, Xq, O2, k_of_r2, tile_m, tile_n)
+    Xqbar = _coord_cotangent(Xq, Zk, V2, O2, dfn, tile_m, tile_n)
+    # Z̄k: the same contraction with query/key roles (and V ↔ ō) swapped
+    Zkbar = _coord_cotangent(Zk, Xq, O2, V2, dfn, tile_m, tile_n)
+    return Xqbar, Zkbar, (vbar[:, 0] if vec else vbar)
 
 
 pallas_gram_matvec.defvjp(_gmv_fwd, _gmv_bwd)
@@ -205,10 +239,13 @@ def fused_stationary_matvec(kernel, X: jax.Array):
     backend with f32/bf16 inputs (off-TPU Pallas would run in interpret
     mode — tests opt in with ``matvec_mode="fused", pallas_interpret=True``),
     AND the kernel unwraps to a scaled parameter-free stationary map with
-    D ≤ 8 input dims.  The returned closure itself returns None for a
-    batched (vmap-traced) ``v`` or kernel: under vmap the XLA block path
-    shares one gram across the batch (efficient), while Pallas batching
-    would recompute it per batch element."""
+    D ≤ 8 input dims.  The returned closure accepts (N,) vectors and
+    (N, R) blocks up to ``config.matvec_fused_max_rhs`` columns (wider
+    blocks return None → XLA, where one gram amortizes across all
+    columns).  It also returns None for a batched (vmap-traced) ``v`` or
+    kernel: under vmap the XLA block path shares one gram across the
+    batch (efficient), while Pallas batching would recompute it per batch
+    element."""
     mode = getattr(config, "matvec_mode", "auto")
     if mode == "xla" or not config.use_pallas:
         return None
@@ -229,8 +266,12 @@ def fused_stationary_matvec(kernel, X: jax.Array):
         return None
     Xs = X if scale is None else X * scale
 
+    max_rhs = int(getattr(config, "matvec_fused_max_rhs", 32))
+
     def fused(v):
-        if v.ndim != 1 or _any_batch_tracer(v):
+        if v.ndim not in (1, 2) or _any_batch_tracer(v):
+            return None
+        if v.ndim == 2 and v.shape[1] > max_rhs:
             return None
         out = pallas_gram_matvec(Xs, Xs, v, fn)
         return out if variance is None else variance * out

@@ -9,14 +9,27 @@ Each atom is timed on ONE (8192, 1e5) block (the matvec runs 13 of them):
   dist_hi      — (8192,128)@(128,1e5) at HIGHEST (the padded distance dot)
   dist_hi3     — same at HIGH (3-pass)
 
-Run: python scripts/profile_matvec_atoms.py
+Run: python scripts/profile_matvec_atoms.py          # single-RHS atoms
+     python scripts/profile_matvec_atoms.py rsweep   # fused-vs-XLA R sweep
+The rsweep phase sizes config.matvec_fused_max_rhs: fused cost ≈
+(r²+map tile) + R·(one lane-reduction); XLA is gram-build-bound and ~flat
+in R (the distance matmul already pays 128 padded lanes).
 """
+import os
 import sys
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, ".")
 import approximategps_tpu as agp  # noqa: E402
@@ -51,6 +64,20 @@ def timeit(fn, arg, label, iters=6):
     t0 = time.perf_counter(); float(f1(arg, 1 + iters)); tk = time.perf_counter() - t0
     print(f"{label}: {(tk - t1) / iters * 1e3:.1f} ms", flush=True)
 
+
+if sys.argv[1:] == ["rsweep"]:
+    from approximategps_tpu.config import config_context
+    from approximategps_tpu.models.iterative import kernel_matvec
+
+    for R in (1, 4, 8, 16, 32, 64):
+        V = jax.random.normal(jax.random.fold_in(key, 10 + R), (N, R), dtype)
+        with config_context(matvec_mode="fused", matvec_fused_max_rhs=128):
+            mv_f = kernel_matvec(kern, X, 0.0, 8192)
+            timeit(lambda a, c: mv_f(a + c), V, f"fused matvec R={R}", iters=3)
+        with config_context(matvec_mode="xla"):
+            mv_x = kernel_matvec(kern, X, 0.0, 8192)
+            timeit(lambda a, c: mv_x(a + c), V, f"xla   matvec R={R}", iters=3)
+    sys.exit(0)
 
 timeit(lambda a, c: kern.gram(Xb + c, a), X, "gram_xla (8192,1e5)")
 sfn = agp.SqExponentialKernel.k_of_r2

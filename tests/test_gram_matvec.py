@@ -166,8 +166,9 @@ def test_kernel_matvec_fused_hyperparameter_grads():
 
 
 def test_kernel_matvec_fused_multirhs_and_vmap_fallthrough():
-    """Multi-RHS (2-D V) and vmapped 1-D v must fall through to the XLA
-    block path and still be correct."""
+    """Narrow multi-RHS (R ≤ config.matvec_fused_max_rhs) rides the fused
+    kernel; wide blocks and vmapped 1-D v fall through to the XLA block
+    path.  All three must agree with the XLA oracle."""
     k1, k2 = jax.random.split(jax.random.fold_in(KEY, 17))
     x = jax.random.uniform(k1, (37, 2)) * 3
     V = jax.random.normal(k2, (37, 4))
@@ -176,12 +177,65 @@ def test_kernel_matvec_fused_multirhs_and_vmap_fallthrough():
         want = kernel_matvec(kern, x, 0.5, block_size=16)(V)
     with config_context(**FUSED):
         mv = kernel_matvec(kern, x, 0.5, block_size=16)
-        got2d = mv(V)
-        got_vm = jax.vmap(mv, in_axes=1, out_axes=1)(V)
+        got2d = mv(V)  # R=4 ≤ cap → fused
+        got_vm = jax.vmap(mv, in_axes=1, out_axes=1)(V)  # vmap → XLA
+    with config_context(**FUSED, matvec_fused_max_rhs=2):
+        got_wide = kernel_matvec(kern, x, 0.5, block_size=16)(V)  # R>cap → XLA
     np.testing.assert_allclose(np.asarray(got2d), np.asarray(want),
                                rtol=1e-11, atol=1e-11)
     np.testing.assert_allclose(np.asarray(got_vm), np.asarray(want),
                                rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got_wide), np.asarray(want),
+                               rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("kcls", [SqExponentialKernel, Matern32Kernel])
+def test_fused_multirhs_vjp_matches_dense(kcls):
+    """The rank-R generalized backward (``_coord_cotangent``) vs the dense
+    oracle's gradients, including the chunked path (R·(1+D) > 128 forces
+    more than one fused g' pass per cotangent)."""
+    k1, k2, k3 = jax.random.split(jax.random.fold_in(KEY, 23), 3)
+    Xq = jax.random.uniform(k1, (19, 2)) * 3
+    Zk = jax.random.uniform(k2, (13, 2)) * 3
+    fn = kcls.k_of_r2
+    for R in (5, 50):  # 50·3 = 150 > 128 → chunked cotangent passes
+        V = jax.random.normal(jax.random.fold_in(k3, R), (13, R))
+
+        def loss_fused(a, b, c):
+            with config_context(**FUSED):
+                return jnp.sum(jnp.cos(pallas_gram_matvec(a, b, c, fn)))
+
+        def loss_dense(a, b, c):
+            return jnp.sum(jnp.cos(_dense_oracle(a, b, c, fn)))
+
+        got = jax.grad(loss_fused, argnums=(0, 1, 2))(Xq, Zk, V)
+        want = jax.grad(loss_dense, argnums=(0, 1, 2))(Xq, Zk, V)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-9, atol=1e-11)
+
+
+def test_fused_multirhs_self_gram_vjp_finite():
+    """Multi-RHS self-gram (coincident points on the diagonal): the fused
+    backward must stay finite and match the dense path."""
+    k1, k2 = jax.random.split(jax.random.fold_in(KEY, 29))
+    X = jax.random.uniform(k1, (17, 2)) * 3
+    V = jax.random.normal(k2, (17, 6))
+    fn = Matern52Kernel.k_of_r2
+    with config_context(**FUSED):
+        gX, gV = jax.grad(
+            lambda a, c: jnp.sum(jnp.sin(pallas_gram_matvec(a, a, c, fn))),
+            argnums=(0, 1),
+        )(X, V)
+    gX_d, gV_d = jax.grad(
+        lambda a, c: jnp.sum(jnp.sin(_dense_oracle(a, a, c, fn))),
+        argnums=(0, 1),
+    )(X, V)
+    assert np.all(np.isfinite(np.asarray(gX)))
+    np.testing.assert_allclose(np.asarray(gX), np.asarray(gX_d),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(gV), np.asarray(gV_d),
+                               rtol=1e-9, atol=1e-11)
 
 
 def test_fused_dispatch_negative_cases():
