@@ -526,6 +526,44 @@ def laplace_cg_mode(N=20000, iters=2):
     return chained_step_ms(make_run, iters=iters, label="laplace_cg")
 
 
+def laplace_cg_lml(N=100_000, iters=1):
+    """Full matrix-free Laplace approx-lml (Newton mode + SLQ logdet B) at a
+    scale the dense path cannot reach.  Exercises the probe-blocked Lanczos
+    recurrence (iterative._lanczos_block): each of the 30 Lanczos iterations
+    presents one (N, 16) probe block to the fused gram-matvec tier instead of
+    16 vmapped single-vector recurrences."""
+    import approximategps_tpu as agp
+    from approximategps_tpu.models.laplace_cg import laplace_lml_cg
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (N, 2), dtype=dtype) * 10
+    y = (jax.random.uniform(jax.random.fold_in(key, 1), (N,)) > 0.5).astype(
+        jnp.int32
+    )
+    lik = agp.BernoulliLikelihood()
+    kern = 1.5 * agp.with_lengthscale(agp.SqExponentialKernel(), 1.2)
+
+    def make_run(n):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                lml = laplace_lml_cg(
+                    lik, y, kern, x + c * 0, jax.random.PRNGKey(7),
+                    num_probes=16, lanczos_iters=30, maxiter=60, tol=1e-4,
+                    cg_tol=1e-6, cg_maxiter=400, precond_rank=512,
+                    block_size=8192,
+                )
+                return lml * 1e-20, 0.0
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+
+        return partial(run, x)
+
+    return chained_step_ms(make_run, iters=iters, label="laplace_cg_lml")
+
+
 def svgp_predict_sweep(M=2048, Ntest=1_000_000, D=8, block=16384, iters=5):
     """Serving path (VERDICT r2 item 4): posterior (mean, var) sweep over
     1e6 test points through ``SVGPPosterior.predict_blocks`` — a lax.scan
@@ -833,6 +871,10 @@ def main():
             (
                 "laplace_cg_newton_mode_ms(N=1e5,chunked+precond512)",
                 partial(laplace_cg_mode, N=100_000, iters=1),
+            ),
+            (
+                "laplace_cg_lml_ms(N=1e5,16probes,30lanczos)",
+                laplace_cg_lml,
             ),
             ("poisson_svgp_elbo_grad_step_ms(N=1e5,M=1024,B=8192)", poisson_svgp),
         ]:
