@@ -755,7 +755,11 @@ def block_vecchia_lml(N=1_000_000, b=64, k=64, iters=3):
         @jax.jit
         def run(x, y):
             def body(c, _):
-                return c + agp.approx_lml(nn, f(x, 0.0), y) * 1e-30, None
+                # x + c*0 gives the body a data dependency on the carry —
+                # without it XLA hoists the loop-invariant lml out of the
+                # scan and n=1 vs n=1+k differ by k scalar adds (measured
+                # 0.0 ms; f32 c*0 cannot be folded since c could be inf/nan)
+                return c + agp.approx_lml(nn, f(x + c * 0, 0.0), y) * 1e-30, None
 
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return c
